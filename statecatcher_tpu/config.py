@@ -1,0 +1,252 @@
+"""Config tree for statecatcher_tpu.
+
+The reference drives everything through a flat argparse surface of ~40 flags
+(reference train.py:608-655) plus a YAML file for data-plane credentials
+(reference dataset.py:20-31).  Here the same surface is a typed dataclass tree
+(model / data / train / mesh) with CLI overrides (``--train.lr 1e-3`` style)
+and the same YAML for credentials, so configs serialize cleanly to JSON next
+to checkpoints (parity with reference train.py:62-66 ``training_args.json``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class FrontendConfig:
+    """Feature frontend (reference model.py:250-279)."""
+
+    kind: str = "mfcc"  # "mfcc" | "mel"
+    sample_rate: int = 16000
+    n_fft: int = 400          # 25 ms @ 16 kHz
+    win_length: int = 400
+    hop_length: int = 160     # 10 ms @ 16 kHz
+    n_mels: int = 80
+    n_mfcc: int = 80
+    center: bool = False
+    power: float = 2.0
+    mel_scale: str = "htk"
+    top_db: float = 80.0      # AmplitudeToDB clamp for kind="mel"
+    log_mels: bool = True     # natural-log mels before DCT for kind="mfcc"
+
+
+@dataclass
+class LucyRNNConfig:
+    """7-gate gated linear-recurrent cell (reference lucyrnn_triton.py).
+
+    The canonical LucyRNN for parity is the reference's Triton variant
+    (7 gates r,z,k,v,h_pre,decay,alpha + grouped RMS normalization;
+    reference lucyrnn_triton.py:204-241) — reference model.py:308-310 always
+    instantiates that one for ``encoder=lucyrnn``.
+    """
+
+    hidden_dim: int = 512
+    num_layers: int = 4
+    num_tracks: int = 1
+    # Kernel implementation for the time recurrence:
+    #   "pallas"    — fused Pallas scan kernel (TPU)
+    #   "assoc"     — jax.lax.associative_scan (parallel-in-time, any backend)
+    #   "xla-scan"  — jax.lax.scan (sequential reference semantics)
+    kernel_impl: str = "assoc"
+    # If True, frames where mask==0 leave (h, s) unchanged.  The reference
+    # ignores masks in the LucyRNN forward (lucyrnn_triton.py:111 accepts but
+    # never reads `masks`); False reproduces that behavior.
+    mask_state_updates: bool = False
+
+
+@dataclass
+class XLSTMConfig:
+    """mLSTM-block encoder (reference model.py:214-229 via NX-AI xLSTMLarge)."""
+
+    embedding_dim: int = 512
+    num_heads: int = 2
+    num_blocks: int = 3
+    chunk_size: int = 64       # chunkwise-parallel kernel chunk; reference pads T to 64 (model.py:305)
+    kernel_impl: str = "chunkwise"  # "chunkwise" | "recurrent" | "pallas"
+    ffn_proj_factor: float = 2.667
+    qk_dim_factor: float = 0.5
+    v_dim_factor: float = 1.0
+    gate_soft_cap: float = 15.0
+
+
+@dataclass
+class ModelConfig:
+    encoder: str = "lstm"          # "lstm" | "lucyrnn" | "xlstm"
+    hidden_size: int = 512
+    num_layers: int = 4
+    input_proj_dim: int = -1       # -1 = no input projection
+    vocab_size: int = 1024
+    dtype: str = "float32"         # compute dtype for activations ("bfloat16" on TPU)
+    param_dtype: str = "float32"
+    lucyrnn: LucyRNNConfig = field(default_factory=LucyRNNConfig)
+    xlstm: XLSTMConfig = field(default_factory=XLSTMConfig)
+    # RNN-T predictor/joiner dims (reference train.py:638-639)
+    rnnt_pred_emb_dim: int = 64
+    rnnt_joiner_dim: int = 64
+
+
+@dataclass
+class DataConfig:
+    """Data plane (reference dataset.py + train.py data flags)."""
+
+    config_path: str = "config.yaml"   # YAML with secret_api_key / server_api_url
+    source: str = "http"               # "http" | "local" (file-backed fixture dataset)
+    local_dir: Optional[str] = None    # for source="local"
+    batch_samplerate: int = 16000
+    batch_segment_strategy: str = "clipping"  # "clipping" | "padding"
+    batch_size: int = 32
+    order: str = "asc"                 # "asc" | "desc" | "random"
+    min_duration: float = 0.0
+    max_duration: Optional[float] = None
+    target_duration: float = 16.0      # seconds per segment
+    num_workers: int = 16              # prefetch/decode worker threads
+    prefetch_batches: int = 2
+
+
+@dataclass
+class OptimConfig:
+    optimizer: str = "adam"       # "adam" | "adamw" | "lion"
+    lr: float = 3e-4
+    weight_decay: float = 1e-2
+    beta1: float = 0.9
+    beta2: float = 0.98
+    use_scheduler: bool = False   # warmup + cosine (reference train.py:147-157)
+    warmup_steps: int = 10000
+    total_steps: int = 100000
+    accumulation_steps: int = 1
+    max_grad_norm: float = 50.0
+
+
+@dataclass
+class TrainConfig:
+    mode: str = "ctc"             # "ctc" | "rnnt"
+    compact_rnnt: bool = False
+    epochs: int = 10
+    steps: Optional[int] = None
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    sp_model: Optional[str] = None    # tokenizer model path
+    model_dir: str = "models"
+    save_every_n_updates: Optional[int] = None
+    log_every_n: int = 100            # metrics window (reference train.py:215)
+    seed: int = 0
+    debug: bool = False               # enables debug_nans + state-detach checks
+    profile_dir: Optional[str] = None # jax.profiler trace output
+    resume_from: Optional[str] = None # checkpoint dir to resume (new capability;
+                                      # the reference has save-only checkpoints)
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh for pjit sharding.
+
+    The reference is single-process single-device; the mesh is our build's
+    first-class scaling axis (SURVEY.md §2.3).  data: batch + carry-state
+    sharding with XLA-emitted gradient allreduce; model: optional hidden-dim
+    sharding of the recurrent cells (the scan is elementwise in D).
+    """
+
+    data_parallel: int = -1      # -1 = all available devices
+    model_parallel: int = 1
+    force_num_cpu_devices: int = 0   # >0: test mode with virtual CPU devices
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+
+    # ------------------------------------------------------------------ #
+    # (De)serialization
+    # ------------------------------------------------------------------ #
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(self.to_dict(), indent=2, **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return _dataclass_from_dict(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    # ------------------------------------------------------------------ #
+    # CLI overrides: ["--train.optim.lr", "1e-3", "--model.encoder", "lucyrnn"]
+    # ------------------------------------------------------------------ #
+    def apply_overrides(self, argv: list[str]) -> "Config":
+        cfg = self
+        i = 0
+        while i < len(argv):
+            tok = argv[i]
+            if not tok.startswith("--"):
+                raise ValueError(f"Expected --key, got {tok!r}")
+            key = tok[2:]
+            if "=" in key:
+                key, raw = key.split("=", 1)
+                i += 1
+            else:
+                if i + 1 >= len(argv):
+                    raise ValueError(f"Missing value for {tok!r}")
+                raw = argv[i + 1]
+                i += 2
+            cfg = _set_by_path(cfg, key.replace("-", "_"), raw)
+        return cfg
+
+
+def _dataclass_from_dict(cls, d):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    hints = {f.name: f for f in dataclasses.fields(cls)}
+    for k, v in d.items():
+        if k not in hints:
+            raise ValueError(f"Unknown config field {k!r} for {cls.__name__}")
+        f = hints[k]
+        sub = f.default_factory() if f.default_factory is not dataclasses.MISSING else None  # type: ignore[misc]
+        if sub is not None and dataclasses.is_dataclass(sub) and isinstance(v, dict):
+            kwargs[k] = _dataclass_from_dict(type(sub), v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def _coerce(old: Any, raw: str) -> Any:
+    if raw.lower() in ("none", "null"):
+        return None
+    if isinstance(old, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(old, int) and not isinstance(old, bool):
+        return int(raw)
+    if isinstance(old, float):
+        return float(raw)
+    if old is None:
+        # untyped Optional field: try int, float, then string
+        for conv in (int, float):
+            try:
+                return conv(raw)
+            except ValueError:
+                pass
+        return raw
+    return raw
+
+
+def _set_by_path(cfg, dotted: str, raw: str):
+    parts = dotted.split(".")
+    def rec(node, idx):
+        name = parts[idx]
+        if not hasattr(node, name):
+            raise ValueError(f"Unknown config path {dotted!r} (no field {name!r} on {type(node).__name__})")
+        cur = getattr(node, name)
+        if idx == len(parts) - 1:
+            return dataclasses.replace(node, **{name: _coerce(cur, raw)})
+        return dataclasses.replace(node, **{name: rec(cur, idx + 1)})
+    return rec(cfg, 0)

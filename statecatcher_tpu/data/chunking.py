@@ -1,0 +1,110 @@
+"""VTT-cue grouping and fixed-size segment extraction.
+
+Behavior parity with reference dataset.py:179-262 — the greedy cue grouping
+(grow a chunk until adding the next cue would cross ``window_sec``, then keep
+or drop that cue by whichever endpoint is closer to the target) and the
+trim/zero-pad + boolean-sample-mask conversion.  Segmentation must be
+byte-identical to the reference for loss/WER parity, so this module is tested
+against hand-computed fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+Cue = tuple[float, float, str]
+Chunk = tuple[float, float, list[str]]
+
+
+def group_cues_into_chunks(segments: list[Cue], window_sec: float) -> list[Chunk]:
+    """Greedily group VTT cues into chunks of ≈``window_sec`` seconds.
+
+    Same decision rule as reference dataset.py:179-211: a cue that would
+    overshoot the window is included iff ``|overshoot − window| <
+    |window − undershoot|``; the remainder forms a final chunk.
+    """
+    chunks: list[Chunk] = []
+    cur: list[Cue] = []
+    for (start, end, text) in segments:
+        if not cur:
+            cur = [(start, end, text)]
+        else:
+            prev_start = cur[0][0]
+            prev_end = cur[-1][1]
+            undershoot = prev_end - prev_start
+            overshoot = end - prev_start
+            if overshoot < window_sec:
+                cur.append((start, end, text))
+            else:
+                if abs(overshoot - window_sec) < abs(window_sec - undershoot):
+                    cur.append((start, end, text))
+                    prev_end = end
+                chunks.append((prev_start, prev_end, [t for _, _, t in cur]))
+                cur = [(start, end, text)]
+    if cur:
+        chunks.append((cur[0][0], cur[-1][1], [t for _, _, t in cur]))
+    return chunks
+
+
+def chunks_to_segments(
+    audio: np.ndarray,
+    chunks: list[Chunk],
+    sample_rate: int,
+    target_samples: int,
+) -> tuple[list[np.ndarray], list[str], list[np.ndarray]]:
+    """Convert chunks → fixed-size audio arrays + joined texts + sample masks.
+
+    Parity with reference dataset.py:216-262 including the empty-VTT fallback
+    (whole recording → one zero-padded segment with empty text).
+    """
+    segment_arrays: list[np.ndarray] = []
+    segment_texts: list[str] = []
+    segment_masks: list[np.ndarray] = []
+
+    for (c_start, c_end, texts) in chunks:
+        s_samp = int(c_start * sample_rate)
+        e_samp = int(c_end * sample_rate)
+        seg = audio[s_samp:e_samp]
+        real_len = len(seg)
+        if real_len >= target_samples:
+            seg = seg[:target_samples]
+            mask = np.ones(target_samples, dtype=bool)
+        else:
+            pad = target_samples - real_len
+            seg = np.concatenate([seg, np.zeros(pad, dtype=np.float32)], axis=0)
+            mask = np.concatenate(
+                [np.ones(real_len, dtype=bool), np.zeros(pad, dtype=bool)], axis=0
+            )
+        segment_arrays.append(np.ascontiguousarray(seg, dtype=np.float32))
+        segment_masks.append(mask)
+        segment_texts.append(" ".join(texts))
+
+    if not segment_arrays:
+        real_len = min(len(audio), target_samples)
+        pad_len = target_samples - real_len
+        seg = np.concatenate(
+            [audio[:real_len].astype(np.float32), np.zeros(pad_len, dtype=np.float32)]
+        )
+        mask = np.concatenate(
+            [np.ones(real_len, dtype=bool), np.zeros(pad_len, dtype=bool)]
+        )
+        segment_arrays = [seg]
+        segment_masks = [mask]
+        segment_texts = [""]
+
+    return segment_arrays, segment_texts, segment_masks
+
+
+def preprocess_recording(
+    audio: np.ndarray,
+    vtt_text: str,
+    sample_rate: int,
+    target_samples: int,
+) -> tuple[list[np.ndarray], list[str], list[np.ndarray]]:
+    """Full recording → (segments, texts, masks): parse + group + fix-size."""
+    from statecatcher_tpu.data.vtt import vtt_to_segments_with_text
+
+    window_sec = target_samples / float(sample_rate)
+    cues = vtt_to_segments_with_text(vtt_text)
+    chunks = group_cues_into_chunks(cues, window_sec)
+    return chunks_to_segments(audio, chunks, sample_rate, target_samples)

@@ -1,0 +1,175 @@
+"""Batch prefetch pipeline: fetch → parallel per-item preprocess → queue.
+
+The reference fans per-item download+decode out to a 32-process spawn pool
+(reference train.py:24-35,285-293,662-670) and overlaps nothing — the train
+loop blocks on each batch.  Here the equivalent is a thread pool (our decode
+path is numpy + optional ffmpeg subprocess, both GIL-releasing) plus a
+bounded background prefetch queue so host-side data work overlaps device
+compute — the standard TPU input-pipeline shape.
+
+Failure discipline parity (SURVEY.md §5 "failure detection"):
+  * fetch error → sleep and retry forever (reference train.py:403-406)
+  * per-item preprocess error → drop the item (reference train.py:285-293)
+  * empty batch after drops → short sleep, refetch (reference train.py:450-453)
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+import numpy as np
+
+logger = logging.getLogger("statecatcher.data")
+
+
+@dataclass
+class PreparedBatch:
+    """One fetched batch, preprocessed: per-recording segment lists."""
+
+    epoch: int
+    batch_id: object
+    # Per recording i: audio_items[i] is a list of (target_samples,) float32
+    # arrays, one per segment; same structure for masks (bool) and texts.
+    audio_items: list[list[np.ndarray]] = field(default_factory=list)
+    text_items: list[list[str]] = field(default_factory=list)
+    mask_items: list[list[np.ndarray]] = field(default_factory=list)
+
+    @property
+    def num_segments_per_item(self) -> list[int]:
+        return [len(a) for a in self.audio_items]
+
+    def num_segments(self, strategy: str) -> int:
+        counts = self.num_segments_per_item
+        if not counts:
+            return 0
+        return min(counts) if strategy == "clipping" else max(counts)
+
+
+class BatchPipeline:
+    """Pull batches from a dataset, preprocess items in parallel, prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        target_samples: int,
+        num_workers: int = 16,
+        prefetch: int = 2,
+        fetch_retry_sleep: float = 10.0,
+        empty_retry_sleep: float = 1.0,
+    ):
+        self.dataset = dataset
+        self.target_samples = target_samples
+        self.fetch_retry_sleep = fetch_retry_sleep
+        self.empty_retry_sleep = empty_retry_sleep
+        self._pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self._queue: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------------ #
+    def _prepare_one(self) -> PreparedBatch:
+        while True:
+            try:
+                epoch, batch_id, batch = self.dataset.fetch_next_batch()
+            except Exception as e:
+                logger.error(
+                    "Data fetch error: %s; sleeping %.1fs before retrying", e,
+                    self.fetch_retry_sleep,
+                )
+                if self._stop.wait(self.fetch_retry_sleep):
+                    raise StopIteration
+                continue
+
+            futures = [
+                self._pool.submit(self._safe_item, item) for item in batch
+            ]
+            out = PreparedBatch(epoch=epoch, batch_id=batch_id)
+            for f in futures:
+                result = f.result()
+                if result is not None:
+                    audios, texts, masks = result
+                    out.audio_items.append(audios)
+                    out.text_items.append(texts)
+                    out.mask_items.append(masks)
+            if not out.audio_items:
+                logger.error("Batch empty after preprocessing errors; retrying")
+                if self._stop.wait(self.empty_retry_sleep):
+                    raise StopIteration
+                continue
+            return out
+
+    def _safe_item(self, item):
+        try:
+            return self.dataset.load_and_preprocess_batch_item(item, self.target_samples)
+        except Exception as e:
+            logger.error("Data preprocess error: %s; leaving out batch item", e)
+            return None
+
+    # ------------------------------------------------------------------ #
+    # Synchronous interface (no background thread)
+    # ------------------------------------------------------------------ #
+    def next_batch(self) -> PreparedBatch:
+        return self._prepare_one()
+
+    # ------------------------------------------------------------------ #
+    # Prefetching interface
+    # ------------------------------------------------------------------ #
+    def start(self):
+        def worker():
+            while not self._stop.is_set():
+                try:
+                    b = self._prepare_one()
+                except StopIteration:
+                    break
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(b, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+        return self
+
+    def get(self, timeout: float | None = None) -> PreparedBatch:
+        return self._queue.get(timeout=timeout)
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def stack_segment_slice(
+    batch: PreparedBatch, seg_idx: int, target_samples: int
+) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Stack segment ``seg_idx`` across recordings, zero-padding missing ones.
+
+    Parity with reference train.py:186-201 (``prepare_batch_data``): items
+    with fewer segments contribute silence + empty text under the "padding"
+    strategy.
+    """
+    audio_rows, mask_rows, texts = [], [], []
+    for audios, texts_i, masks in zip(batch.audio_items, batch.text_items, batch.mask_items):
+        if seg_idx < len(audios):
+            audio_rows.append(audios[seg_idx])
+            mask_rows.append(masks[seg_idx])
+            texts.append(texts_i[seg_idx])
+        else:
+            audio_rows.append(np.zeros(target_samples, dtype=np.float32))
+            mask_rows.append(np.zeros(target_samples, dtype=bool))
+            texts.append("")
+    return np.stack(audio_rows), np.stack(mask_rows), texts

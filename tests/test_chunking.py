@@ -1,0 +1,125 @@
+"""Chunking parity tests.
+
+The grouping rule (reference dataset.py:179-211) is re-implemented here in a
+deliberately different style (index-based lookahead) and cross-checked on
+random cue streams, plus hand-computed fixtures.
+"""
+
+import numpy as np
+
+from statecatcher_tpu.data.chunking import (
+    chunks_to_segments,
+    group_cues_into_chunks,
+    preprocess_recording,
+)
+
+
+def _reference_grouping_oracle(cues, window_sec):
+    """Independent re-statement of the documented rule, index-based."""
+    chunks = []
+    i = 0
+    n = len(cues)
+    while i < n:
+        # start a chunk at cue i, grow while the next cue keeps total < window
+        j = i  # chunk covers cues[i..j]
+        while j + 1 < n and (cues[j + 1][1] - cues[i][0]) < window_sec:
+            j += 1
+        start = cues[i][0]
+        if j + 1 < n:
+            # Cue j+1 crosses the window: include it in THIS chunk iff its
+            # overshoot is closer to the window than the current undershoot —
+            # but either way cue j+1 also STARTS the next chunk (the rule
+            # duplicates the crossing cue when included).
+            undershoot = cues[j][1] - start
+            overshoot = cues[j + 1][1] - start
+            if abs(overshoot - window_sec) < abs(window_sec - undershoot):
+                end = cues[j + 1][1]
+                texts = [c[2] for c in cues[i:j + 2]]
+            else:
+                end = cues[j][1]
+                texts = [c[2] for c in cues[i:j + 1]]
+            chunks.append((start, end, texts))
+            i = j + 1
+        else:
+            chunks.append((start, cues[j][1], [c[2] for c in cues[i:j + 1]]))
+            i = j + 1
+    return chunks
+
+
+def test_grouping_matches_oracle_random(rng):
+    for trial in range(50):
+        n = int(rng.integers(1, 30))
+        t = 0.0
+        cues = []
+        for k in range(n):
+            gap = float(rng.uniform(0, 1.0))
+            dur = float(rng.uniform(0.5, 8.0))
+            cues.append((t + gap, t + gap + dur, f"cue{k}"))
+            t += gap + dur
+        window = float(rng.uniform(4.0, 20.0))
+        got = group_cues_into_chunks(cues, window)
+        want = _reference_grouping_oracle(cues, window)
+        assert got == want, f"trial {trial}: window={window} cues={cues}"
+
+
+def test_grouping_single_cue():
+    cues = [(0.0, 5.0, "a")]
+    assert group_cues_into_chunks(cues, 16.0) == [(0.0, 5.0, ["a"])]
+
+
+def test_grouping_exact_fixture():
+    # window 10s; cues of 4s each back to back
+    cues = [(0.0, 4.0, "a"), (4.0, 8.0, "b"), (8.0, 12.0, "c"), (12.0, 16.0, "d")]
+    # chunk1: a,b (8s); adding c → 12s overshoot |12-10|=2 < |10-8|=2? No (strict <).
+    # So chunk1 = a,b; chunk2 starts at c: c,d → 8s ... adding nothing.
+    got = group_cues_into_chunks(cues, 10.0)
+    assert got == [(0.0, 8.0, ["a", "b"]), (8.0, 16.0, ["c", "d"])]
+
+
+def test_segments_pad_and_trim():
+    sr = 100
+    audio = np.arange(1000, dtype=np.float32) / 1000.0
+    chunks = [(0.0, 2.0, ["short"]), (2.0, 9.0, ["long"])]
+    target = 500  # 5 s at sr=100
+    arrays, texts, masks = chunks_to_segments(audio, chunks, sr, target)
+    assert texts == ["short", "long"]
+    # short chunk: 200 real samples + 300 pad
+    assert arrays[0].shape == (500,)
+    assert masks[0].sum() == 200
+    assert np.all(arrays[0][200:] == 0.0)
+    np.testing.assert_allclose(arrays[0][:200], audio[0:200])
+    # long chunk: trimmed to 500
+    assert masks[1].all()
+    np.testing.assert_allclose(arrays[1], audio[200:700])
+
+
+def test_empty_vtt_fallback():
+    sr = 100
+    audio = np.ones(120, dtype=np.float32)
+    arrays, texts, masks = preprocess_recording(audio, "", sr, 200)
+    assert len(arrays) == 1
+    assert texts == [""]
+    assert masks[0].sum() == 120
+    assert arrays[0].shape == (200,)
+
+
+def test_preprocess_end_to_end():
+    sr = 1000
+    audio = np.sin(np.arange(30 * sr) / 50.0).astype(np.float32)
+    vtt = """WEBVTT
+
+00:00.000 --> 00:05.000
+hello world
+
+00:05.000 --> 00:12.000
+second chunk
+
+00:12.000 --> 00:25.000
+third
+"""
+    arrays, texts, masks = preprocess_recording(audio, vtt, sr, 10 * sr)
+    assert len(arrays) == len(texts) == len(masks)
+    for a, m in zip(arrays, masks):
+        assert a.shape == (10 * sr,)
+        assert m.shape == (10 * sr,)
+        assert a.dtype == np.float32 and m.dtype == bool
