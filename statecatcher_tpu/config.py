@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 from typing import Any, Optional
 
 
-@dataclass
+@dataclass(frozen=True)
 class FrontendConfig:
     """Feature frontend (reference model.py:250-279)."""
 
@@ -34,7 +34,7 @@ class FrontendConfig:
     log_mels: bool = True     # natural-log mels before DCT for kind="mfcc"
 
 
-@dataclass
+@dataclass(frozen=True)
 class LucyRNNConfig:
     """7-gate gated linear-recurrent cell (reference lucyrnn_triton.py).
 
@@ -58,7 +58,7 @@ class LucyRNNConfig:
     mask_state_updates: bool = False
 
 
-@dataclass
+@dataclass(frozen=True)
 class XLSTMConfig:
     """mLSTM-block encoder (reference model.py:214-229 via NX-AI xLSTMLarge)."""
 
@@ -73,7 +73,7 @@ class XLSTMConfig:
     gate_soft_cap: float = 15.0
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig:
     encoder: str = "lstm"          # "lstm" | "lucyrnn" | "xlstm"
     hidden_size: int = 512
@@ -89,7 +89,7 @@ class ModelConfig:
     rnnt_joiner_dim: int = 64
 
 
-@dataclass
+@dataclass(frozen=True)
 class DataConfig:
     """Data plane (reference dataset.py + train.py data flags)."""
 
@@ -107,7 +107,7 @@ class DataConfig:
     prefetch_batches: int = 2
 
 
-@dataclass
+@dataclass(frozen=True)
 class OptimConfig:
     optimizer: str = "adam"       # "adam" | "adamw" | "lion"
     lr: float = 3e-4
@@ -121,7 +121,7 @@ class OptimConfig:
     max_grad_norm: float = 50.0
 
 
-@dataclass
+@dataclass(frozen=True)
 class TrainConfig:
     mode: str = "ctc"             # "ctc" | "rnnt"
     compact_rnnt: bool = False
@@ -139,7 +139,7 @@ class TrainConfig:
                                       # the reference has save-only checkpoints)
 
 
-@dataclass
+@dataclass(frozen=True)
 class MeshConfig:
     """Device mesh for pjit sharding.
 
@@ -154,7 +154,7 @@ class MeshConfig:
     force_num_cpu_devices: int = 0   # >0: test mode with virtual CPU devices
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
     model: ModelConfig = field(default_factory=ModelConfig)
     data: DataConfig = field(default_factory=DataConfig)

@@ -7,13 +7,19 @@ to run the TPU-marked kernel tests on a real chip.
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# XLA_FLAGS is read at backend initialization — set it before first jax use.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# jax is already imported by a pytest plugin before conftest runs, so the
+# JAX_PLATFORM_NAME env var is too late — use the config API instead.
+if os.environ.get("STATECATCHER_TEST_TPU") != "1":
+    jax.config.update("jax_platform_name", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
