@@ -1,0 +1,94 @@
+"""ASRModel wrapper: input projection, masking policy, encoder dispatch.
+
+Parity with reference model.py:282-398:
+  * optional input projection ``proj_dim > 0`` (reference model.py:297-298)
+  * LSTM: mask-aware scan (packed-sequence equivalent) + classifier head
+    (reference model.py:296,350-372,393-396)
+  * LucyRNN / xLSTM: zero-input masking fallback (reference model.py:374-377),
+    vocab projection inside the encoder, state updates on padded frames
+    unless ``mask_state_updates`` is set (an improvement the reference lists
+    as WiP — reference README.md:29)
+
+All encoders share the stateful contract
+``(logits, new_state) = model.apply(params, feats, state, frame_mask)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from statecatcher_tpu.config import ModelConfig
+from statecatcher_tpu.models.lstm import LSTMEncoder
+from statecatcher_tpu.models.lucyrnn import LucyRNNEncoder
+
+
+class ASRModel(nn.Module):
+    cfg: ModelConfig
+    feat_dim: int
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def _encoder(self):
+        cfg = self.cfg
+        enc_in = cfg.input_proj_dim if cfg.input_proj_dim > 0 else self.feat_dim
+        if cfg.encoder == "lstm":
+            return LSTMEncoder(
+                input_dim=enc_in, hidden_size=cfg.hidden_size,
+                num_layers=cfg.num_layers, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="encoder",
+            )
+        if cfg.encoder == "lucyrnn":
+            import dataclasses
+
+            lcfg = dataclasses.replace(
+                cfg.lucyrnn, hidden_dim=cfg.hidden_size, num_layers=cfg.num_layers
+            )
+            return LucyRNNEncoder(
+                input_dim=enc_in, vocab_size=cfg.vocab_size, cfg=lcfg,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
+            )
+        if cfg.encoder == "xlstm":
+            from statecatcher_tpu.models.xlstm import XLSTMEncoder
+
+            return XLSTMEncoder(
+                input_dim=enc_in, vocab_size=cfg.vocab_size, cfg=cfg.xlstm,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
+            )
+        raise ValueError(f"Unknown encoder type: {self.cfg.encoder!r}")
+
+    def init_state(self, batch_size: int):
+        return self._encoder().init_state(batch_size)
+
+    @nn.compact
+    def __call__(self, feats, state=None, frame_mask=None):
+        cfg = self.cfg
+        x = feats.astype(self.dtype)
+        if cfg.input_proj_dim > 0:
+            x = nn.Dense(
+                cfg.input_proj_dim, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="proj",
+            )(x)
+
+        encoder = self._encoder()
+        if cfg.encoder == "lstm":
+            y, new_state = encoder(x, state, frame_mask)
+            logits = nn.Dense(
+                cfg.vocab_size, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="classifier",
+            )(y)
+        else:
+            # Zero-input masking fallback (reference model.py:374-377).
+            if frame_mask is not None:
+                x = x * frame_mask[..., None].astype(x.dtype)
+            logits, new_state = encoder(x, state, frame_mask)
+        return logits, new_state
+
+
+def build_model(cfg: ModelConfig, feat_dim: int) -> ASRModel:
+    """Encoder factory (reference model.py:202-247 build_encoder + ASRModel)."""
+    dtype = jnp.dtype(cfg.dtype)
+    param_dtype = jnp.dtype(cfg.param_dtype)
+    return ASRModel(cfg=cfg, feat_dim=feat_dim, dtype=dtype, param_dtype=param_dtype)

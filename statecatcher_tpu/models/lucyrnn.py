@@ -1,0 +1,226 @@
+"""LucyRNN: 7-gate gated linear-recurrent encoder, TPU-first formulation.
+
+Semantics match the reference's canonical Triton cell (reference
+lucyrnn_triton.py:27-75,179-244 — the variant ASRModel always instantiates,
+reference model.py:308-310):
+
+  gates    g = W x + b           split into r, z, k, v, h_pre, decay, alpha
+  grouped RMS (elementwise over gate pairs, per (b,t,d)):
+             rms_rz = sqrt((r²+z²)/2 + ε);  rms_kv = sqrt((k²+v²)/2 + ε)
+             rms_d  = sqrt(decay² + ε);     rms_a  = sqrt(alpha² + ε)
+             rms_h  = sqrt(h_pre² + ε)
+  normalize + squash:
+             z = σ(z/rms_rz)  decay = σ(decay/rms_d)  alpha = σ(alpha/rms_a)
+             kv = (k/rms_kv)(v/rms_kv) / (rms_kv² + ε)
+  recurrences (the two linear scans):
+             s_t = decay_t · s_{t-1} + alpha_t · kv_t
+             c_t = tanh(h_pre_t/rms_h + s_t)
+             h_t = z_t · h_{t-1} + (1 − z_t) · c_t
+  (r is computed by the reference cell but never used in the recurrence —
+   the parameters are kept for checkpoint-shape parity.)
+
+TPU-first design: the gate projection is ONE (B·T, Din)×(Din, 7D) matmul on
+the MXU; everything after it is elementwise VPU work plus two linear scans
+(see ops/scan.py) — parallel-in-time via associative scan or fused into a
+Pallas kernel.  Unlike the reference Triton kernels (forward-only, outputs
+outside autograd — SURVEY.md Appendix A.1) every path here has a real
+backward.
+
+Layer stack parity (reference lucyrnn_triton.py:77-155): per-track layer
+stacks with inter-layer LayerNorm, optional multi-track merge projection,
+zero-init output projection; carried state per track/layer is
+(h = last-timestep output, s = final scan state).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from statecatcher_tpu.config import LucyRNNConfig
+from statecatcher_tpu.ops.scan import linear_scan
+
+_EPS = 1e-6
+
+
+def lucy_cell_parallel(
+    gates: jnp.ndarray,      # (B, T, 7, D) raw gate pre-activations
+    h0: jnp.ndarray,         # (B, D)
+    s0: jnp.ndarray,         # (B, D)
+    impl: str = "assoc",
+    frame_mask: Optional[jnp.ndarray] = None,  # (B, T) bool, optional
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the 7-gate cell over a whole segment.  Returns (h_all, h_T, s_T).
+
+    With ``frame_mask`` given, masked steps leave (h, s) unchanged — realized
+    by forcing the scan coefficients to the identity map (a=1, b=0), which
+    composes exactly under the associative scan.  (The reference ignores
+    masks here; pass None for parity.)
+    """
+    if impl == "pallas":
+        from statecatcher_tpu.ops.lucy_pallas import lucy_cell_pallas
+
+        return lucy_cell_pallas(gates, h0, s0, frame_mask)
+
+    r, z, k, v, h_pre, decay, alpha = [
+        gates[:, :, i, :] for i in range(7)
+    ]
+    del r  # computed by the reference cell but unused in the recurrence
+    # Grouped RMS normalization (elementwise, reference lucyrnn_triton.py:214-226)
+    rms_rz = jnp.sqrt((jnp.square(gates[:, :, 0, :]) + jnp.square(z)) / 2 + _EPS)
+    rms_kv2 = (jnp.square(k) + jnp.square(v)) / 2 + _EPS
+    rms_kv = jnp.sqrt(rms_kv2)
+    rms_d = jnp.sqrt(jnp.square(decay) + _EPS)
+    rms_a = jnp.sqrt(jnp.square(alpha) + _EPS)
+    rms_h = jnp.sqrt(jnp.square(h_pre) + _EPS)
+
+    z_n = jax.nn.sigmoid(z / rms_rz)
+    decay_n = jax.nn.sigmoid(decay / rms_d)
+    alpha_n = jax.nn.sigmoid(alpha / rms_a)
+    h_pre_n = h_pre / rms_h
+    # Bounded kv update (reference lucyrnn_triton.py:235): normalized k,v then
+    # a further division by (rms² + ε)
+    kv = (k / rms_kv) * (v / rms_kv) / (rms_kv2 + _EPS)
+
+    a_s = decay_n
+    b_s = alpha_n * kv
+    if frame_mask is not None:
+        m = frame_mask[..., None].astype(a_s.dtype)
+        a_s = m * a_s + (1.0 - m)     # identity map on masked steps
+        b_s = m * b_s
+    s_all = linear_scan(a_s, b_s, s0, impl=impl)
+
+    c = jnp.tanh(h_pre_n + s_all)
+    a_h = z_n
+    b_h = (1.0 - z_n) * c
+    if frame_mask is not None:
+        m = frame_mask[..., None].astype(a_h.dtype)
+        a_h = m * a_h + (1.0 - m)
+        b_h = m * b_h
+    h_all = linear_scan(a_h, b_h, h0, impl=impl)
+
+    return h_all, h_all[:, -1, :], s_all[:, -1, :]
+
+
+def _gate_bias_init(key, shape, dtype=jnp.float32):
+    """Gate-aware bias init (reference lucyrnn_triton.py:39-48):
+    r=0, z=1, k=0, v=0, h_pre=0, decay=2, alpha=0.5."""
+    (n,) = shape
+    d = n // 7
+    vals = jnp.concatenate([
+        jnp.zeros(d), jnp.ones(d), jnp.zeros(d), jnp.zeros(d),
+        jnp.zeros(d), jnp.full((d,), 2.0), jnp.full((d,), 0.5),
+    ])
+    return vals.astype(dtype)
+
+
+class LucyCell(nn.Module):
+    """One LucyRNN layer: fused 7-gate projection + parallel recurrence."""
+
+    hidden_dim: int
+    kernel_impl: str = "assoc"
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h0, s0, frame_mask=None):
+        B, T, _ = x.shape
+        D = self.hidden_dim
+        gates = nn.Dense(
+            7 * D,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=_gate_bias_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="gate_proj",
+        )(x)
+        gates = gates.reshape(B, T, 7, D)
+        return lucy_cell_parallel(
+            gates, h0.astype(gates.dtype), s0.astype(gates.dtype),
+            impl=self.kernel_impl, frame_mask=frame_mask,
+        )
+
+
+class LucyRNNEncoder(nn.Module):
+    """Multi-track, multi-layer LucyRNN with vocab output projection.
+
+    State pytree: ``{"h": (B, tracks, L, D), "s": (B, tracks, L, D)}`` —
+    batch-major so carry rows shard with their utterances under DP.
+    """
+
+    input_dim: int
+    vocab_size: int
+    cfg: LucyRNNConfig
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def init_state(self, batch_size: int) -> dict:
+        L, D = self.cfg.num_layers, self.cfg.hidden_dim
+        k = self.cfg.num_tracks
+        return {
+            "h": jnp.zeros((batch_size, k, L, D), self.dtype),
+            "s": jnp.zeros((batch_size, k, L, D), self.dtype),
+        }
+
+    @nn.compact
+    def __call__(self, x, state=None, frame_mask=None):
+        B, T, _ = x.shape
+        cfg = self.cfg
+        if state is None:
+            state = self.init_state(B)
+        cell_mask = frame_mask if cfg.mask_state_updates else None
+
+        track_outputs = []
+        new_h = []
+        new_s = []
+        for t in range(cfg.num_tracks):
+            x_t = x
+            h_layers = []
+            s_layers = []
+            for l in range(cfg.num_layers):
+                x_t, h_T, s_T = LucyCell(
+                    hidden_dim=cfg.hidden_dim,
+                    kernel_impl=cfg.kernel_impl,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    name=f"track{t}_layer{l}",
+                )(x_t, state["h"][:, t, l], state["s"][:, t, l], cell_mask)
+                h_layers.append(h_T)
+                s_layers.append(s_T)
+                if l < cfg.num_layers - 1:
+                    x_t = nn.LayerNorm(
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name=f"track{t}_norm{l}",
+                    )(x_t)
+            track_outputs.append(x_t)
+            new_h.append(jnp.stack(h_layers, axis=1))   # (B, L, D)
+            new_s.append(jnp.stack(s_layers, axis=1))
+
+        if cfg.num_tracks == 1:
+            y = track_outputs[0]
+        else:
+            y = jnp.concatenate(track_outputs, axis=-1)
+            y = nn.Dense(
+                cfg.hidden_dim,
+                kernel_init=nn.initializers.xavier_uniform(),
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="merge_proj",
+            )(y)
+
+        # Zero-init output projection (reference lucyrnn_triton.py:107-109)
+        logits = nn.Dense(
+            self.vocab_size,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            name="output_proj",
+        )(y)
+
+        new_state = {
+            "h": jnp.stack(new_h, axis=1),  # (B, tracks, L, D)
+            "s": jnp.stack(new_s, axis=1),
+        }
+        return logits, new_state
