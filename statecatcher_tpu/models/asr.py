@@ -60,7 +60,7 @@ class ASRModel(nn.Module):
         raise ValueError(f"Unknown encoder type: {self.cfg.encoder!r}")
 
     def init_state(self, batch_size: int):
-        return self._encoder().init_state(batch_size)
+        return init_carry(self.cfg, batch_size, self.dtype)
 
     @nn.compact
     def __call__(self, feats, state=None, frame_mask=None):
@@ -85,6 +85,27 @@ class ASRModel(nn.Module):
                 x = x * frame_mask[..., None].astype(x.dtype)
             logits, new_state = encoder(x, state, frame_mask)
         return logits, new_state
+
+
+def init_carry(cfg: ModelConfig, batch_size: int, dtype=jnp.float32):
+    """Zero carry-state pytree for an encoder config — a pure function (no
+    module machinery) so the training loop can build donated buffers.
+
+    Batch-major layout: axis 0 is the utterance, so the carry shards with its
+    batch rows under a data-parallel mesh.
+    """
+    B = batch_size
+    if cfg.encoder == "lstm":
+        shape = (B, cfg.num_layers, cfg.hidden_size)
+        return {"h": jnp.zeros(shape, dtype), "c": jnp.zeros(shape, dtype)}
+    if cfg.encoder == "lucyrnn":
+        shape = (B, cfg.lucyrnn.num_tracks, cfg.num_layers, cfg.hidden_size)
+        return {"h": jnp.zeros(shape, dtype), "s": jnp.zeros(shape, dtype)}
+    if cfg.encoder == "xlstm":
+        from statecatcher_tpu.models.xlstm import xlstm_init_carry
+
+        return xlstm_init_carry(cfg.xlstm, B, dtype)
+    raise ValueError(f"Unknown encoder type: {cfg.encoder!r}")
 
 
 def build_model(cfg: ModelConfig, feat_dim: int) -> ASRModel:

@@ -108,7 +108,7 @@ def ctc_nll_optax(log_probs, in_lens, labels, label_lens, blank_id=0):
     return optax.ctc_loss(log_probs, logit_pad, labels, label_pad, blank_id=blank_id)
 
 
-def ctc_loss(
+def ctc_loss_per_example(
     logits: jnp.ndarray,       # (B, T, V) raw logits (softmax applied here)
     in_lens: jnp.ndarray,
     labels: jnp.ndarray,
@@ -117,15 +117,31 @@ def ctc_loss(
     zero_infinity: bool = True,
     impl: str = "lattice",
 ) -> jnp.ndarray:
-    """Batch CTC loss with PyTorch ``nn.CTCLoss`` mean-reduction semantics."""
+    """Per-example CTC loss, PyTorch-normalized (nll / max(label_len, 1))."""
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     if impl == "optax":
         nll = ctc_nll_optax(log_probs, in_lens, labels, label_lens, blank_id)
     elif impl == "lattice":
         nll = ctc_nll_lattice(log_probs, in_lens, labels, label_lens, blank_id)
+    elif impl == "pallas":
+        from statecatcher_tpu.ops.ctc_pallas import ctc_nll_pallas
+
+        nll = ctc_nll_pallas(log_probs, in_lens, labels, label_lens, blank_id)
     else:
         raise ValueError(f"Unknown CTC impl {impl!r}")
     per = nll / jnp.maximum(label_lens, 1).astype(nll.dtype)
     if zero_infinity:
         per = jnp.where(jnp.isfinite(per) & (per < 1e29), per, 0.0)
-    return jnp.mean(per)
+    return per
+
+
+def ctc_loss(
+    logits, in_lens, labels, label_lens,
+    blank_id: int = 0, zero_infinity: bool = True, impl: str = "lattice",
+) -> jnp.ndarray:
+    """Batch CTC loss with PyTorch ``nn.CTCLoss`` mean-reduction semantics."""
+    return jnp.mean(
+        ctc_loss_per_example(
+            logits, in_lens, labels, label_lens, blank_id, zero_infinity, impl
+        )
+    )

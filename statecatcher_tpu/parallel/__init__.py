@@ -1,0 +1,6 @@
+from statecatcher_tpu.parallel.mesh import (
+    MeshPlan,
+    make_mesh_plan,
+)
+
+__all__ = ["MeshPlan", "make_mesh_plan"]

@@ -1,0 +1,99 @@
+"""Device mesh + sharding plan for data/model-parallel training.
+
+The reference has no parallelism beyond a host-side worker pool (SURVEY.md
+§2.3); this module is the TPU-native scaling layer it lacks:
+
+  * mesh axes ``('data', 'model')`` over a v5e/v5p slice
+    (``jax.distributed.initialize`` for multi-host; XLA emits the gradient
+    allreduce over ICI/DCN from the shardings — no hand-written collectives)
+  * batches AND carry-state pytrees are batch-major sharded on ``data``, so
+    each utterance's recurrent state lives on the chip that processes it and
+    never moves between steps
+  * parameters are replicated across ``data`` and (optionally) sharded on
+    ``model`` along the hidden dim — the recurrent scans are elementwise in
+    D, so D-sharding needs no per-step collectives; only the in/out
+    projections reduce-scatter/all-gather
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from statecatcher_tpu.config import MeshConfig
+
+
+@dataclass
+class MeshPlan:
+    mesh: Mesh
+    batch_spec: P         # leading-axis = batch
+    state_spec: P         # carry pytrees: batch-major
+    replicated: P
+
+    @property
+    def data_size(self) -> int:
+        return self.mesh.shape["data"]
+
+    @property
+    def model_size(self) -> int:
+        return self.mesh.shape["model"]
+
+    def batch_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self.batch_spec)
+
+    def replicated_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, self.replicated)
+
+    def shard_batch(self, tree):
+        return jax.device_put(tree, self.batch_sharding())
+
+    def shard_replicated(self, tree):
+        return jax.device_put(tree, self.replicated_sharding())
+
+
+def make_mesh_plan(
+    cfg: MeshConfig, devices: Optional[list] = None
+) -> MeshPlan:
+    """Build the ('data', 'model') mesh.
+
+    ``devices`` defaults to all local devices; pass ``jax.devices('cpu')``
+    for the virtual-device test path.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    mp = max(1, cfg.model_parallel)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
+    if dp * mp > n:
+        raise ValueError(f"Mesh {dp}x{mp} needs {dp*mp} devices, have {n}")
+    devs = np.array(devices[: dp * mp]).reshape(dp, mp)
+    mesh = Mesh(devs, ("data", "model"))
+    return MeshPlan(
+        mesh=mesh,
+        batch_spec=P("data"),
+        state_spec=P("data"),
+        replicated=P(),
+    )
+
+
+def pad_batch_to_multiple(arrays: dict, batch_axis_size: int, multiple: int):
+    """Pad leading (batch) dim so it divides the data axis; returns
+    (padded_arrays, row_valid mask)."""
+    import numpy as np
+
+    B = batch_axis_size
+    target = -(-B // multiple) * multiple
+    pad = target - B
+    out = {}
+    for k, v in arrays.items():
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(v, widths)
+        else:
+            out[k] = v
+    valid = np.arange(target) < B
+    return out, valid

@@ -1,0 +1,296 @@
+"""The training loop: session → batches → segment-slice loop → carried state.
+
+Structure parity with reference train.py:308-604 —
+
+  while True:
+    fetch batch (retry-forever on error)
+    per-item preprocess (parallel, drop failures)
+    K = min|max segment count (clipping|padding strategy)
+    carry = zero state                     # reset per recording-batch
+    for seg_idx in range(K):               # ═ segment-slice loop ═
+        stack slice → tokens → train_step  # carry survives the update
+    mark_batch_done
+
+— but the per-segment work (frontend, masks, loss, backward, clip, update,
+greedy decode) is a single donated jit (train/step.py), batches are padded to
+fixed shapes for compile-once behavior, and the data pipeline prefetches in
+the background.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from statecatcher_tpu.config import Config
+from statecatcher_tpu.data.local import LocalSpeechDataset
+from statecatcher_tpu.data.pipeline import BatchPipeline, stack_segment_slice
+from statecatcher_tpu.decode import keep_to_token_lists
+from statecatcher_tpu.frontend import feat_dim as frontend_feat_dim
+from statecatcher_tpu.frontend import num_frames
+from statecatcher_tpu.metrics import (
+    LoggingSink,
+    JsonlSink,
+    MultiSink,
+    StageTimer,
+    ThroughputMeter,
+    wer,
+)
+from statecatcher_tpu.models.asr import build_model
+from statecatcher_tpu.tokenizer import CharTokenizer, load_tokenizer
+from statecatcher_tpu.train.checkpoint import CheckpointManager, setup_run_dir
+from statecatcher_tpu.train.step import init_train_state, make_train_step
+
+logger = logging.getLogger("statecatcher.train")
+
+
+def _setup_logging(run_dir: str):
+    root = logging.getLogger("statecatcher")
+    root.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    fh = logging.FileHandler(os.path.join(run_dir, "train.log"))
+    fh.setFormatter(fmt)
+    root.addHandler(fh)
+    if not any(isinstance(h, logging.StreamHandler) for h in root.handlers):
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        root.addHandler(sh)
+
+
+def build_dataset(cfg: Config):
+    if cfg.data.source == "local":
+        if not cfg.data.local_dir:
+            raise ValueError("data.source=local requires data.local_dir")
+        return LocalSpeechDataset(
+            cfg.data.local_dir,
+            batch_segment_strategy=cfg.data.batch_segment_strategy,
+            batch_samplerate=cfg.data.batch_samplerate,
+        )
+    from statecatcher_tpu.data.client import SpeechDataset
+
+    return SpeechDataset(
+        config_path=cfg.data.config_path,
+        batch_segment_strategy=cfg.data.batch_segment_strategy,
+        batch_samplerate=cfg.data.batch_samplerate,
+    )
+
+
+def build_tokenizer(cfg: Config):
+    """Load the configured tokenizer, or auto-train a char tokenizer from
+    local VTTs (test/dev convenience; the reference requires --sp-model)."""
+    if cfg.train.sp_model:
+        return load_tokenizer(cfg.train.sp_model)
+    if cfg.data.source == "local" and cfg.data.local_dir:
+        from statecatcher_tpu.data.vtt import vtt_to_segments_with_text
+
+        corpus = []
+        for name in sorted(os.listdir(cfg.data.local_dir)):
+            if name.endswith(".vtt"):
+                with open(os.path.join(cfg.data.local_dir, name)) as f:
+                    for _, _, text in vtt_to_segments_with_text(f.read()):
+                        corpus.append(text)
+        logger.info("Auto-training char tokenizer from %d cues", len(corpus))
+        return CharTokenizer.train(corpus or ["abcdefghijklmnopqrstuvwxyz "])
+    raise ValueError("train.sp_model is required for http data source")
+
+
+def _pad_tokens(token_ids: list[list[int]], blank_id: int, bucket: int = 16):
+    """Token lists → fixed (B, U) array bucketed to multiples of ``bucket``
+    (limits jit recompiles), padded with blank (reference train.py:203-212)."""
+    tgt_lens = np.array([len(t) for t in token_ids], dtype=np.int32)
+    U = max(int(tgt_lens.max()), 1)
+    U = -(-U // bucket) * bucket
+    tokens = np.full((len(token_ids), U), blank_id, dtype=np.int32)
+    for i, t in enumerate(token_ids):
+        if t:
+            tokens[i, : len(t)] = np.asarray(t, dtype=np.int32)
+    return tokens, tgt_lens
+
+
+def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
+    """Run training.  Returns a summary dict (final step, losses, run_dir)."""
+    run_dir = setup_run_dir(cfg)
+    _setup_logging(run_dir)
+    logger.info("Run directory: %s", run_dir)
+
+    tokenizer = build_tokenizer(cfg)
+    vocab_size = tokenizer.vocab_size
+    blank_id = tokenizer.blank_id
+    logger.info("Vocab size: %d (blank_id=%d)", vocab_size, blank_id)
+
+    import dataclasses
+
+    model_cfg = dataclasses.replace(cfg.model, vocab_size=vocab_size)
+    fdim = frontend_feat_dim(cfg.frontend)
+    model = build_model(model_cfg, fdim)
+
+    sr = cfg.data.batch_samplerate
+    target_samples = int(sr * cfg.data.target_duration)
+    T = num_frames(target_samples, cfg.frontend)
+    B = cfg.data.batch_size
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state = init_train_state(model, cfg, rng, fdim, min(T, 64))
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    logger.info(
+        "Model built: %s, feat_dim=%d, vocab=%d, params=%.2fM",
+        model_cfg.encoder, fdim, vocab_size, n_params / 1e6,
+    )
+
+    ckpt = CheckpointManager(run_dir)
+    start_epoch = 0
+    global_step = 0
+    if cfg.train.resume_from:
+        prev = CheckpointManager(cfg.train.resume_from)
+        state, meta = prev.restore(state)
+        global_step = int(meta["global_step"])
+        start_epoch = int(meta["epoch"])
+        logger.info("Resumed from %s at step %d", cfg.train.resume_from, global_step)
+        prev.close()
+
+    train_step = make_train_step(model, cfg, blank_id=blank_id)
+
+    if dataset is None:
+        dataset = build_dataset(cfg)
+    dataset.start_session(
+        batch_size=B, order=cfg.data.order,
+        min_duration=cfg.data.min_duration, max_duration=cfg.data.max_duration,
+    )
+
+    sinks = MultiSink([LoggingSink(logger), JsonlSink(os.path.join(run_dir, "metrics.jsonl"))])
+    sinks.set_params({
+        "encoder": model_cfg.encoder, "frontend": cfg.frontend.kind,
+        "mode": cfg.train.mode, "lr": cfg.train.optim.lr,
+        "batch_samplerate": sr, "target_duration": cfg.data.target_duration,
+        "optimizer": cfg.train.optim.optimizer,
+        "max_grad_norm": cfg.train.optim.max_grad_norm,
+        "epochs": cfg.train.epochs,
+        "accumulation_steps": cfg.train.optim.accumulation_steps,
+        "num_params": int(n_params),
+    })
+
+    timer = StageTimer()
+    meter = ThroughputMeter()
+    losses: list[float] = []
+    window_refs: list[str] = []
+    window_hyps: list[str] = []
+    prev_epoch = None
+    n_batches = 0
+    stop = False
+
+    def save(epoch, step=None):
+        ckpt.save(
+            step if step is not None else global_step,
+            state,
+            {"epoch": int(epoch), "global_step": int(global_step)},
+        )
+
+    pipe = BatchPipeline(
+        dataset, target_samples, num_workers=cfg.data.num_workers,
+        prefetch=cfg.data.prefetch_batches,
+    ).start()
+    try:
+        while not stop:
+            with timer.time("fetch"):
+                batch = pipe.get()
+            epoch = batch.epoch
+
+            if prev_epoch is None:
+                prev_epoch = epoch
+            elif epoch != prev_epoch:
+                save(prev_epoch)
+                if prev_epoch + 1 >= cfg.train.epochs:
+                    break
+                prev_epoch = epoch
+            if epoch >= cfg.train.epochs:
+                break
+
+            K = batch.num_segments(cfg.data.batch_segment_strategy)
+            n_rows = len(batch.audio_items)
+
+            # Reset the carry at each new recording batch (reference
+            # train.py:460) — fixed shape B for compile-once.
+            carry = model.init_state(B)
+
+            for seg_idx in range(K):
+                with timer.time("host_prep"):
+                    audio, mask, texts = stack_segment_slice(
+                        batch, seg_idx, target_samples
+                    )
+                    if n_rows < B:  # pad to fixed batch shape
+                        pad = B - n_rows
+                        audio = np.pad(audio, ((0, pad), (0, 0)))
+                        mask = np.pad(mask, ((0, pad), (0, 0)))
+                        texts = texts + [""] * pad
+                    row_valid = np.arange(B) < n_rows
+                    token_ids = [tokenizer.encode(t) for t in texts]
+                    tokens, tgt_lens = _pad_tokens(token_ids, blank_id)
+
+                with timer.time("train_step"):
+                    state, carry, out = train_step(
+                        state, carry,
+                        jnp.asarray(audio), jnp.asarray(mask),
+                        jnp.asarray(tokens), jnp.asarray(tgt_lens),
+                        jnp.asarray(row_valid),
+                    )
+
+                global_step += 1
+                loss_val = float(out.loss)
+                losses.append(loss_val)
+                meter.step(float(mask.sum()) / sr)
+
+                if len(losses) >= cfg.train.log_every_n:
+                    with timer.time("metrics"):
+                        hyp_lists = keep_to_token_lists(
+                            np.asarray(out.preds), np.asarray(out.keep)
+                        )
+                        for i in range(n_rows):
+                            window_hyps.append(tokenizer.decode_ids(hyp_lists[i]))
+                            window_refs.append(texts[i])
+                        avg_loss = sum(losses) / len(losses)
+                        ter = wer(window_refs, window_hyps)
+                        sinks.track(avg_loss, f"avg_loss_{cfg.train.log_every_n}", global_step)
+                        sinks.track(ter, f"train_ter_{cfg.train.log_every_n}", global_step)
+                        sinks.track(float(out.grad_norm), "grad_norm", global_step)
+                        sinks.track(meter.audio_seconds_per_second, "audio_sec_per_sec", global_step)
+                        losses.clear()
+                        window_refs.clear()
+                        window_hyps.clear()
+
+                if (
+                    cfg.train.save_every_n_updates
+                    and global_step % cfg.train.save_every_n_updates == 0
+                ):
+                    save(epoch)
+
+                if cfg.train.steps and global_step >= cfg.train.steps:
+                    stop = True
+                    break
+
+            with timer.time("mark_done"):
+                dataset.mark_batch_done(epoch, batch.batch_id)
+            dataset.log("INFO", f"Completed batch {batch.batch_id} @ epoch {epoch}")
+            n_batches += 1
+            if max_batches and n_batches >= max_batches:
+                break
+    finally:
+        pipe.stop()
+        dataset.end_session()
+        save(prev_epoch if prev_epoch is not None else 0)
+        ckpt.wait()
+        ckpt.close()
+        sinks.close()
+        logger.info("Stage timing: %s", timer.summary())
+
+    return {
+        "run_dir": run_dir,
+        "global_step": global_step,
+        "final_loss": losses[-1] if losses else None,
+        "audio_sec_per_sec": meter.audio_seconds_per_second,
+        "stage_timing": timer.summary(),
+    }

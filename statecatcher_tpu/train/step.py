@@ -1,0 +1,166 @@
+"""The jitted train step: frontend → encoder(state) → loss → update.
+
+The whole hot path of the reference's segment loop (reference
+train.py:461-585: frontend, mask math, compute_loss, backward, clip, step)
+is one XLA computation here, with:
+
+  * the carry-state pytree threaded through and **donated** — truncated-BPTT
+    state carry (``lax.stop_gradient`` at entry, parity with reference
+    model.py:59-63 detach_states) with zero host↔device traffic
+  * gradient accumulation via ``optax.MultiSteps`` (reference
+    train.py:549-571 semantics: clip + step every `accumulation_steps`)
+  * grad-norm as ONE device scalar (the reference syncs per-parameter norms
+    to host every update — SURVEY.md Appendix A.11)
+  * greedy decode computed on device so the TER window costs one (B, T)
+    int32 transfer, not a (B, T, V) logits transfer
+
+Padded-row handling: batches are padded to a fixed shape for jit; rows with
+``row_valid=False`` contribute zero loss and zero gradient (masked mean).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from statecatcher_tpu.config import Config, FrontendConfig, OptimConfig
+from statecatcher_tpu.decode import ctc_greedy_decode
+from statecatcher_tpu.frontend import compute_features, compute_frame_mask, num_frames
+from statecatcher_tpu.ops.ctc import ctc_loss_per_example
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+class StepOutput(NamedTuple):
+    loss: jnp.ndarray          # scalar
+    grad_norm: jnp.ndarray     # scalar (pre-clip global norm)
+    preds: jnp.ndarray         # (B, T) greedy argmax tokens
+    keep: jnp.ndarray          # (B, T) greedy keep-mask
+    in_lens: jnp.ndarray       # (B,)
+
+
+TrainStepFn = Callable[..., tuple[TrainState, Any, StepOutput]]
+
+
+def lr_schedule(optim: OptimConfig):
+    """Warmup + cosine (reference train.py:147-157 lr_lambda semantics)."""
+    if not optim.use_scheduler:
+        return optim.lr
+
+    def fn(step):
+        warm = jnp.asarray(optim.warmup_steps, jnp.float32)
+        total = jnp.asarray(optim.total_steps, jnp.float32)
+        s = step.astype(jnp.float32) if hasattr(step, "astype") else jnp.float32(step)
+        warm_factor = s / jnp.maximum(1.0, warm)
+        progress = (s - warm) / jnp.maximum(1.0, total - warm)
+        cos_factor = 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+        return optim.lr * jnp.where(s < warm, warm_factor, cos_factor)
+
+    return fn
+
+
+def build_optimizer(optim: OptimConfig) -> optax.GradientTransformation:
+    """adam | adamw | lion with global-norm clip and optional accumulation
+    (reference train.py:112-137,549-571)."""
+    lr = lr_schedule(optim)
+    if optim.optimizer == "adamw":
+        tx = optax.adamw(
+            lr, b1=optim.beta1, b2=optim.beta2, weight_decay=optim.weight_decay
+        )
+    elif optim.optimizer == "lion":
+        tx = optax.lion(lr, weight_decay=optim.weight_decay)
+    elif optim.optimizer == "adam":
+        tx = optax.adam(lr)
+    else:
+        raise ValueError(f"Unknown optimizer {optim.optimizer!r}")
+    tx = optax.chain(optax.clip_by_global_norm(optim.max_grad_norm), tx)
+    if optim.accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=optim.accumulation_steps)
+    return tx
+
+
+def make_train_step(
+    model,
+    cfg: Config,
+    blank_id: int = 0,
+    mesh_plan=None,
+    ctc_impl: str = "lattice",
+) -> TrainStepFn:
+    """Build the jitted ``(state, carry, batch...) → (state, carry, out)``.
+
+    ``batch`` arrays: audio (B, S) f32, sample_mask (B, S) bool,
+    tokens (B, U) i32, tok_lens (B,) i32, row_valid (B,) bool.
+    """
+    fe = cfg.frontend
+    stack_order = 1
+
+    def step(state: TrainState, carry, audio, sample_mask, tokens, tok_lens, row_valid):
+        feats = compute_features(audio, fe)
+        T = feats.shape[1]
+        frame_mask, in_lens = compute_frame_mask(sample_mask, T, stack_order)
+        in_lens = jnp.maximum(in_lens, 1)
+
+        # truncated BPTT boundary (reference model.py:59-63)
+        carry_in = jax.lax.stop_gradient(carry)
+
+        def loss_fn(params):
+            logits, new_state = model.apply(params, feats, carry_in, frame_mask)
+            per = ctc_loss_per_example(
+                logits, in_lens, tokens, tok_lens, blank_id=blank_id, impl=ctc_impl
+            )
+            valid = row_valid.astype(per.dtype)
+            loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+            return loss, (logits, new_state)
+
+        (loss, (logits, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grad_norm = optax.global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+
+        preds, keep = ctc_greedy_decode(
+            jax.lax.stop_gradient(logits), in_lens, blank_id
+        )
+        out = StepOutput(
+            loss=loss, grad_norm=grad_norm, preds=preds, keep=keep, in_lens=in_lens
+        )
+        return state, new_state, out
+
+    donate = (0, 1)  # state and carry buffers are donated (updated in place)
+    if mesh_plan is None:
+        return jax.jit(step, donate_argnums=donate)
+
+    from jax.sharding import NamedSharding
+
+    batch_sh = mesh_plan.batch_sharding()
+    repl_sh = mesh_plan.replicated_sharding()
+    state_sh = None  # inferred: params replicated
+    return jax.jit(
+        step,
+        donate_argnums=donate,
+        in_shardings=(
+            repl_sh,            # train state (params/opt) replicated over data
+            batch_sh,           # carry: batch-major sharded
+            batch_sh, batch_sh, batch_sh, batch_sh, batch_sh,
+        ),
+        out_shardings=(repl_sh, batch_sh, StepOutput(
+            loss=repl_sh, grad_norm=repl_sh,
+            preds=batch_sh, keep=batch_sh, in_lens=batch_sh,
+        )),
+    )
+
+
+def init_train_state(model, cfg: Config, rng, feat_dim: int, sample_T: int) -> TrainState:
+    """Initialize parameters + optimizer state with a dummy forward."""
+    dummy = jnp.zeros((1, sample_T, feat_dim), jnp.float32)
+    params = model.init(rng, dummy)
+    tx = build_optimizer(cfg.train.optim)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)

@@ -1,0 +1,88 @@
+"""End-to-end training-slice tests: local fixture data → train() → loss drops,
+checkpoints written, resume works (SURVEY.md §7 stages 3-4)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from statecatcher_tpu.config import Config
+from statecatcher_tpu.data.audio import write_wav_bytes
+
+
+def _fixture_dir(tmp_path, rng, n=3, seconds=4, sr=8000):
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    words = ["hello", "world", "testing", "audio", "stream", "state"]
+    for i in range(n):
+        x = rng.uniform(-0.3, 0.3, size=seconds * sr).astype(np.float32)
+        (tmp_path / f"rec{i}.wav").write_bytes(write_wav_bytes(x, sr))
+        lines = ["WEBVTT", ""]
+        cue = seconds / 2
+        for j in range(2):
+            s, e = j * cue, (j + 1) * cue
+            lines.append(f"00:00:{s:06.3f} --> 00:00:{e:06.3f}")
+            lines.append(" ".join(rng.choice(words, size=3)))
+            lines.append("")
+        (tmp_path / f"rec{i}.vtt").write_text("\n".join(lines))
+    return str(tmp_path)
+
+
+def _tiny_cfg(local_dir, model_dir, encoder="lstm", **train_over):
+    cfg = Config()
+    over = [
+        "--model.encoder", encoder,
+        "--model.hidden_size", "32",
+        "--model.num_layers", "2",
+        "--data.source", "local",
+        "--data.local_dir", local_dir,
+        "--data.batch_samplerate", "8000",
+        "--data.batch_size", "2",
+        "--data.target_duration", "2.0",
+        "--data.num_workers", "2",
+        "--train.model_dir", model_dir,
+        "--train.log_every_n", "4",
+        "--train.epochs", "100",
+    ]
+    for k, v in train_over.items():
+        over += [f"--{k}", str(v)]
+    return cfg.apply_overrides(over)
+
+
+@pytest.mark.parametrize("encoder", ["lstm", "lucyrnn"])
+def test_train_e2e_loss_decreases(tmp_path, rng, encoder):
+    from statecatcher_tpu.train.loop import train
+
+    data = _fixture_dir(tmp_path / "data", rng)
+    cfg = _tiny_cfg(data, str(tmp_path / "models"), encoder=encoder)
+    cfg = cfg.apply_overrides(["--train.steps", "12", "--train.optim.lr", "3e-3"])
+    summary = train(cfg)
+    assert summary["global_step"] == 12
+    # loss curve from the metrics jsonl
+    metrics = [
+        json.loads(line)
+        for line in open(os.path.join(summary["run_dir"], "metrics.jsonl"))
+    ]
+    avg_losses = [m["avg_loss_4"] for m in metrics if "avg_loss_4" in m]
+    assert len(avg_losses) >= 2
+    assert avg_losses[-1] < avg_losses[0]  # it learns *something* on the fixture
+    # checkpoint exists
+    assert glob.glob(os.path.join(summary["run_dir"], "ckpt", "*"))
+
+
+def test_train_resume(tmp_path, rng):
+    from statecatcher_tpu.train.loop import train
+
+    data = _fixture_dir(tmp_path / "data", rng)
+    cfg = _tiny_cfg(data, str(tmp_path / "models"))
+    cfg1 = cfg.apply_overrides(["--train.steps", "6"])
+    s1 = train(cfg1)
+    assert s1["global_step"] == 6
+
+    cfg2 = cfg.apply_overrides(
+        ["--train.steps", "10", "--train.resume_from", s1["run_dir"]]
+    )
+    s2 = train(cfg2)
+    # resumed from step 6, ran to 10
+    assert s2["global_step"] == 10
