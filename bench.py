@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Benchmark: train audio-seconds/s/chip, LucyRNN-CTC stateful (north star).
+
+Runs the full jitted train step (frontend → LucyRNN encoder → CTC loss →
+backward → update, carry threaded) on synthetic 16 s segments and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "audio_sec_per_sec_per_chip",
+     "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
+measured against the recorded first-round value in BENCH_BASELINE.json when
+present (ratio > 1 = faster than our own round-1 baseline), else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from statecatcher_tpu.config import Config
+    from statecatcher_tpu.models.asr import build_model, init_carry
+    from statecatcher_tpu.train.step import init_train_state, make_train_step
+
+    # Flagship config: canonical hyperparameters (SURVEY.md Appendix B):
+    # hidden 512 × 4 layers, vocab 1024, 16 s segments @ 16 kHz, MFCC-80.
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "16.0"))
+    kernel = os.environ.get("BENCH_KERNEL", "")  # "" = config default
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+
+    over = [
+        "--model.encoder", "lucyrnn",
+        "--model.hidden_size", "512",
+        "--model.num_layers", "4",
+        "--model.vocab_size", "1024",
+        "--model.dtype", dtype,
+        "--data.batch_size", str(B),
+        "--data.target_duration", str(seconds),
+    ]
+    if kernel:
+        over += ["--model.lucyrnn.kernel_impl", kernel]
+    cfg = Config().apply_overrides(over)
+
+    sr = cfg.data.batch_samplerate
+    S = int(sr * seconds)
+    fdim = 80
+    model = build_model(cfg.model, fdim)
+
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, fdim, 64)
+    train_step = make_train_step(model, cfg, blank_id=0)
+
+    rng_np = np.random.default_rng(0)
+    audio = jnp.asarray(rng_np.uniform(-0.3, 0.3, (B, S)).astype(np.float32))
+    mask = jnp.ones((B, S), jnp.bool_)
+    U = 128
+    tokens = jnp.asarray(rng_np.integers(1, 1024, (B, U)).astype(np.int32))
+    tok_lens = jnp.full((B,), U, jnp.int32)
+    row_valid = jnp.ones((B,), jnp.bool_)
+    carry = init_carry(cfg.model, B)
+
+    # Warmup (compile) + steady state timing
+    state, carry, out = train_step(state, carry, audio, mask, tokens, tok_lens, row_valid)
+    jax.block_until_ready(out.loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, carry, out = train_step(
+            state, carry, audio, mask, tokens, tok_lens, row_valid
+        )
+    jax.block_until_ready(out.loss)
+    dt = time.perf_counter() - t0
+
+    audio_sec_per_sec = B * seconds * steps / dt
+
+    baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        try:
+            baseline = json.load(open(base_path)).get("value")
+        except Exception:
+            baseline = None
+    vs = (audio_sec_per_sec / baseline) if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_second_per_chip_lucyrnn_ctc_stateful",
+        "value": round(audio_sec_per_sec, 2),
+        "unit": "audio_sec/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

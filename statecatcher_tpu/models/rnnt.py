@@ -1,0 +1,70 @@
+"""RNN-T predictor + joiner networks.
+
+Parity with reference model.py:112-145 (``RNNTPredictorJoiner``): stateless
+1-token embedding predictor, encoder/predictor projections into a shared join
+space, broadcast add + tanh, final vocab projection.  The predictor input is
+the blank-prefixed label sequence (reference model.py:77-83).
+
+The "compact" ΣTU packing of the reference (model.py:147-200, a per-batch
+Python loop) is replaced by the fused chunked loss path
+(ops/rnnt.py:rnnt_loss_fused) — same memory goal, static shapes, MXU-batched.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class RNNTPredictorJoiner(nn.Module):
+    """Embedding predictor + add-joiner producing dense (B, T, U+1, V)."""
+
+    vocab_size: int
+    enc_out_dim: int
+    pred_emb_dim: int = 64
+    join_dim: int = 64
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embedding = nn.Embed(
+            self.vocab_size, self.pred_emb_dim,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+        )
+        self.enc_proj = nn.Dense(
+            self.join_dim, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        self.pred_proj = nn.Dense(
+            self.join_dim, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+        self.joiner = nn.Dense(
+            self.vocab_size, dtype=self.dtype, param_dtype=self.param_dtype
+        )
+
+    def project(self, enc_out, prefix):
+        """Returns (enc_proj (B,T,J), pred_proj (B,U+1,J)) for the fused loss."""
+        pred_emb = self.embedding(prefix)
+        return self.enc_proj(enc_out), self.pred_proj(pred_emb)
+
+    def joint(self, enc_proj, pred_proj):
+        """(B,T,J) × (B,U+1,J) → (B,T,U+1,V) via broadcast add + tanh."""
+        j = jnp.tanh(enc_proj[:, :, None, :] + pred_proj[:, None, :, :])
+        return self.joiner(j)
+
+    def __call__(self, enc_out, prefix):
+        enc_p, pred_p = self.project(enc_out, prefix)
+        return self.joint(enc_p, pred_p)
+
+    def joiner_params_for_fused(self, variables):
+        """Extract the final projection's kernel/bias for rnnt_loss_fused."""
+        p = variables["params"]["joiner"]
+        return p["kernel"], p["bias"]
+
+
+def make_prefix(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
+    """Blank-prefixed predictor input (reference model.py:77-83)."""
+    B = labels.shape[0]
+    blank_col = jnp.full((B, 1), blank_id, dtype=labels.dtype)
+    return jnp.concatenate([blank_col, labels], axis=1)
