@@ -39,28 +39,32 @@ class RNNTPredictorJoiner(nn.Module):
         self.pred_proj = nn.Dense(
             self.join_dim, dtype=self.dtype, param_dtype=self.param_dtype
         )
-        self.joiner = nn.Dense(
-            self.vocab_size, dtype=self.dtype, param_dtype=self.param_dtype
+        # Final projection as explicit params (not a Dense) so the fused loss
+        # path (ops/rnnt.py:rnnt_loss_fused) can consume the raw kernel/bias.
+        self.join_kernel = self.param(
+            "join_kernel", nn.initializers.lecun_normal(),
+            (self.join_dim, self.vocab_size), self.param_dtype,
+        )
+        self.join_bias = self.param(
+            "join_bias", nn.initializers.zeros, (self.vocab_size,), self.param_dtype
         )
 
     def project(self, enc_out, prefix):
-        """Returns (enc_proj (B,T,J), pred_proj (B,U+1,J)) for the fused loss."""
+        """Returns (enc_p (B,T,J), pred_p (B,U+1,J), kernel, bias)."""
         pred_emb = self.embedding(prefix)
-        return self.enc_proj(enc_out), self.pred_proj(pred_emb)
+        return (
+            self.enc_proj(enc_out), self.pred_proj(pred_emb),
+            self.join_kernel, self.join_bias,
+        )
 
     def joint(self, enc_proj, pred_proj):
         """(B,T,J) × (B,U+1,J) → (B,T,U+1,V) via broadcast add + tanh."""
         j = jnp.tanh(enc_proj[:, :, None, :] + pred_proj[:, None, :, :])
-        return self.joiner(j)
+        return j @ self.join_kernel.astype(j.dtype) + self.join_bias.astype(j.dtype)
 
     def __call__(self, enc_out, prefix):
-        enc_p, pred_p = self.project(enc_out, prefix)
+        enc_p, pred_p, _, _ = self.project(enc_out, prefix)
         return self.joint(enc_p, pred_p)
-
-    def joiner_params_for_fused(self, variables):
-        """Extract the final projection's kernel/bias for rnnt_loss_fused."""
-        p = variables["params"]["joiner"]
-        return p["kernel"], p["bias"]
 
 
 def make_prefix(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:

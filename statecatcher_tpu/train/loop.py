@@ -41,7 +41,7 @@ from statecatcher_tpu.metrics import (
     ThroughputMeter,
     wer,
 )
-from statecatcher_tpu.models.asr import build_model
+from statecatcher_tpu.models.speech import build_speech_model
 from statecatcher_tpu.tokenizer import CharTokenizer, load_tokenizer
 from statecatcher_tpu.train.checkpoint import CheckpointManager, setup_run_dir
 from statecatcher_tpu.train.step import init_train_state, make_train_step
@@ -127,7 +127,7 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
 
     model_cfg = dataclasses.replace(cfg.model, vocab_size=vocab_size)
     fdim = frontend_feat_dim(cfg.frontend)
-    model = build_model(model_cfg, fdim)
+    model = build_speech_model(model_cfg, fdim, cfg.train.mode)
 
     sr = cfg.data.batch_samplerate
     target_samples = int(sr * cfg.data.target_duration)

@@ -101,6 +101,7 @@ def make_train_step(
     """
     fe = cfg.frontend
     stack_order = 1
+    mode = cfg.train.mode
 
     def step(state: TrainState, carry, audio, sample_mask, tokens, tok_lens, row_valid):
         feats = compute_features(audio, fe)
@@ -112,12 +113,26 @@ def make_train_step(
         carry_in = jax.lax.stop_gradient(carry)
 
         def loss_fn(params):
-            logits, new_state = model.apply(params, feats, carry_in, frame_mask)
-            per = ctc_loss_per_example(
-                logits, in_lens, tokens, tok_lens, blank_id=blank_id, impl=ctc_impl
-            )
-            valid = row_valid.astype(per.dtype)
-            loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+            if mode == "rnnt":
+                from statecatcher_tpu.models.rnnt import make_prefix
+                from statecatcher_tpu.ops.rnnt import rnnt_loss_fused
+
+                prefix = make_prefix(tokens, blank_id)
+                logits, new_state, (enc_p, pred_p, jk, jb) = model.apply(
+                    params, feats, carry_in, frame_mask, prefix
+                )
+                loss = rnnt_loss_fused(
+                    enc_p, pred_p, jk, jb,
+                    tokens, in_lens, tok_lens, blank_id=blank_id,
+                    row_valid=row_valid,
+                )
+            else:
+                logits, new_state = model.apply(params, feats, carry_in, frame_mask)
+                per = ctc_loss_per_example(
+                    logits, in_lens, tokens, tok_lens, blank_id=blank_id, impl=ctc_impl
+                )
+                valid = row_valid.astype(per.dtype)
+                loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
             return loss, (logits, new_state)
 
         (loss, (logits, new_state)), grads = jax.value_and_grad(
@@ -161,6 +176,10 @@ def make_train_step(
 def init_train_state(model, cfg: Config, rng, feat_dim: int, sample_T: int) -> TrainState:
     """Initialize parameters + optimizer state with a dummy forward."""
     dummy = jnp.zeros((1, sample_T, feat_dim), jnp.float32)
-    params = model.init(rng, dummy)
+    if cfg.train.mode == "rnnt":
+        prefix = jnp.zeros((1, 2), jnp.int32)
+        params = model.init(rng, dummy, None, None, prefix)
+    else:
+        params = model.init(rng, dummy)
     tx = build_optimizer(cfg.train.optim)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)

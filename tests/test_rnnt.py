@@ -159,8 +159,7 @@ def test_predictor_joiner_module(rng):
     assert logits.shape == (B, T, U + 1, V)
 
     # fused pieces consistent with dense joint
-    enc_p, pred_p = pj.apply(variables, enc_out, prefix, method=pj.project)
-    W, bias = pj.joiner_params_for_fused(variables)
+    enc_p, pred_p, W, bias = pj.apply(variables, enc_out, prefix, method=pj.project)
     joint = np.tanh(np.asarray(enc_p)[:, :, None, :] + np.asarray(pred_p)[:, None, :, :])
     manual = joint @ np.asarray(W) + np.asarray(bias)
     np.testing.assert_allclose(manual, np.asarray(logits), rtol=1e-4, atol=1e-5)

@@ -86,3 +86,25 @@ def test_train_resume(tmp_path, rng):
     s2 = train(cfg2)
     # resumed from step 6, ran to 10
     assert s2["global_step"] == 10
+
+
+def test_train_e2e_rnnt(tmp_path, rng):
+    """RNN-T mode: fused transducer loss end-to-end (config 4 slice)."""
+    from statecatcher_tpu.train.loop import train
+
+    data = _fixture_dir(tmp_path / "data", rng)
+    cfg = _tiny_cfg(data, str(tmp_path / "models"), encoder="lucyrnn")
+    cfg = cfg.apply_overrides([
+        "--train.mode", "rnnt",
+        "--train.steps", "6",
+        "--model.rnnt_pred_emb_dim", "16",
+        "--model.rnnt_joiner_dim", "16",
+    ])
+    summary = train(cfg)
+    assert summary["global_step"] == 6
+    metrics = [
+        json.loads(line)
+        for line in open(os.path.join(summary["run_dir"], "metrics.jsonl"))
+    ]
+    losses = [m["avg_loss_4"] for m in metrics if "avg_loss_4" in m]
+    assert losses and all(np.isfinite(l) for l in losses)
