@@ -59,12 +59,11 @@ def lucy_cell_parallel(
     by forcing the scan coefficients to the identity map (a=1, b=0), which
     composes exactly under the associative scan.  (The reference ignores
     masks here; pass None for parity.)
+
+    ``impl`` selects the linear-scan primitive (ops/scan.py): the elementwise
+    gate math stays in XLA (it fuses into neighbors); only the recurrences
+    differ — "pallas" uses the fused TPU chunk-scan kernel.
     """
-    if impl == "pallas":
-        from statecatcher_tpu.ops.lucy_pallas import lucy_cell_pallas
-
-        return lucy_cell_pallas(gates, h0, s0, frame_mask)
-
     r, z, k, v, h_pre, decay, alpha = [
         gates[:, :, i, :] for i in range(7)
     ]

@@ -54,9 +54,66 @@ def linear_scan_seq(a: jnp.ndarray, b: jnp.ndarray, s0: jnp.ndarray) -> jnp.ndar
     return jnp.swapaxes(sT, 0, 1)
 
 
+def linear_scan_chunked(
+    a: jnp.ndarray, b: jnp.ndarray, s0: jnp.ndarray, chunk: int = 16
+) -> jnp.ndarray:
+    """Chunk-vectorized scan: sequential depth = chunk + T/chunk.
+
+    Time is tiled (T → NC × C); the intra-chunk recurrence runs as C unrolled
+    steps each operating on the full (B, NC, D) slab (VPU stays busy across
+    chunks), then the NC chunk carries are combined with a short associative
+    scan and broadcast back.  Fewer memory passes than the O(log T) Blelchoch
+    form of ``associative_scan`` — this is also the schedule the Pallas kernel
+    uses on-chip.
+    """
+    B, T, D = a.shape
+    C = min(chunk, T)
+    pad = (-T) % C
+    if pad:
+        # identity elements: a=1, b=0 leave the state unchanged
+        a = jnp.concatenate([a, jnp.ones((B, pad, D), a.dtype)], axis=1)
+        b = jnp.concatenate([b, jnp.zeros((B, pad, D), b.dtype)], axis=1)
+    Tp = T + pad
+    NC = Tp // C
+    a_c = a.reshape(B, NC, C, D)
+    b_c = b.reshape(B, NC, C, D)
+
+    # Intra-chunk scan, vectorized over (B, NC): C unrolled steps.
+    def step(carry, ab):
+        A, S = carry          # A: running ∏a within chunk, S: running local scan
+        a_t, b_t = ab
+        S = a_t * S + b_t
+        A = a_t * A
+        return (A, S), (A, S)
+
+    ones = jnp.ones((B, NC, D), a.dtype)
+    zeros = jnp.zeros((B, NC, D), b.dtype)
+    (_, _), (A_run, S_run) = lax.scan(
+        step, (ones, zeros),
+        (jnp.moveaxis(a_c, 2, 0), jnp.moveaxis(b_c, 2, 0)),
+        unroll=True,
+    )
+    # A_run/S_run: (C, B, NC, D) — prefix products/scans within each chunk
+    A_chunk = A_run[-1]       # (B, NC, D) total chunk decay
+    S_chunk = S_run[-1]       # (B, NC, D) chunk-local scan result
+
+    # Combine chunk carries with a short scan over NC.
+    s_end = linear_scan_assoc(A_chunk, S_chunk, s0)     # (B, NC, D): state at chunk ends
+    s_before = jnp.concatenate(
+        [s0[:, None, :], s_end[:, :-1, :]], axis=1
+    )                                                   # (B, NC, D)
+
+    # Broadcast: s_t = S_local + A_localprefix · s_before_chunk
+    out = jnp.moveaxis(S_run, 0, 2) + jnp.moveaxis(A_run, 0, 2) * s_before[:, :, None, :]
+    out = out.reshape(B, Tp, D)
+    return out[:, :T]
+
+
 def linear_scan(a, b, s0, impl: str = "assoc") -> jnp.ndarray:
     if impl == "assoc":
         return linear_scan_assoc(a, b, s0)
+    if impl == "chunked":
+        return linear_scan_chunked(a, b, s0)
     if impl == "xla-scan":
         return linear_scan_seq(a, b, s0)
     if impl == "pallas":
