@@ -1,0 +1,226 @@
+"""Batched, jittable CTC prefix beam search with streaming state.
+
+The reference has greedy decoding only; beam search is on its roadmap
+(reference README.md:31, decoder.py).  This is a TPU-native prefix beam
+search: fixed shapes throughout, all work batched over (B, W) beams, prefix
+identity tracked by rolling hash, duplicate prefixes merged with a
+sorted-segment logsumexp built from the same (logaddexp, +) semiring scan
+used by the RNN-T lattice (ops/rnnt.py).
+
+Streaming: ``BeamState`` is a pytree (scores, hashes, prefix buffer) that can
+be carried across segment boundaries together with the encoder carry — the
+decode-side twin of the training loop's state propagation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_NEG_INF = -1e30
+_HASH_P = jnp.uint32(1000003)
+
+
+class BeamState(NamedTuple):
+    p_b: jnp.ndarray       # (B, W) log prob of prefix ending in blank
+    p_nb: jnp.ndarray      # (B, W) log prob of prefix ending in non-blank
+    hashes: jnp.ndarray    # (B, W) uint32 rolling hash of prefix
+    last: jnp.ndarray      # (B, W) last token of prefix (-1 if empty)
+    toks: jnp.ndarray      # (B, W, Lmax) prefix tokens
+    lens: jnp.ndarray      # (B, W) prefix lengths
+
+
+def beam_init(batch: int, beam: int, max_len: int) -> BeamState:
+    p_b = jnp.full((batch, beam), _NEG_INF).at[:, 0].set(0.0)
+    return BeamState(
+        p_b=p_b,
+        p_nb=jnp.full((batch, beam), _NEG_INF),
+        hashes=jnp.zeros((batch, beam), jnp.uint32),
+        last=jnp.full((batch, beam), -1, jnp.int32),
+        toks=jnp.zeros((batch, beam, max_len), jnp.int32),
+        lens=jnp.zeros((batch, beam), jnp.int32),
+    )
+
+
+def _segment_logsumexp_sorted(vals: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
+    """Within runs (seg_start marks run beginnings), inclusive running
+    logsumexp along axis 1 — via the (logaddexp, +) semiring linear scan."""
+    gate = jnp.where(seg_start, _NEG_INF, 0.0)  # a=0 (log-id) within a run
+
+    def combine(x, y):
+        a1, b1 = x
+        a2, b2 = y
+        return a1 + a2, jnp.logaddexp(b1 + a2, b2)
+
+    _, out = lax.associative_scan(combine, (gate, vals), axis=1)
+    return out
+
+
+def _merge_topk(hashes, p_b, p_nb, parent, token, beam):
+    """Merge candidates with identical prefix hash, keep top ``beam``.
+
+    All shapes (B, N).  Returns indices into the candidate axis (B, W) of
+    the surviving representative candidates plus merged scores.
+    """
+    B, N = hashes.shape
+    order = jnp.argsort(hashes, axis=1)
+    hs = jnp.take_along_axis(hashes, order, axis=1)
+    pb_s = jnp.take_along_axis(p_b, order, axis=1)
+    pnb_s = jnp.take_along_axis(p_nb, order, axis=1)
+
+    prev_h = jnp.concatenate([jnp.full((B, 1), 2**32 - 1, hs.dtype), hs[:, :-1]], axis=1)
+    seg_start = hs != prev_h
+    pb_run = _segment_logsumexp_sorted(pb_s, seg_start)
+    pnb_run = _segment_logsumexp_sorted(pnb_s, seg_start)
+    next_h = jnp.concatenate([hs[:, 1:], jnp.full((B, 1), 2**32 - 1, hs.dtype)], axis=1)
+    is_end = hs != next_h       # run representative = last of run (holds full sum)
+
+    total = jnp.logaddexp(pb_run, pnb_run)
+    total = jnp.where(is_end, total, _NEG_INF)
+    top_vals, top_idx = lax.top_k(total, beam)          # indices into sorted axis
+    orig_idx = jnp.take_along_axis(order, top_idx, axis=1)
+    pb_out = jnp.take_along_axis(pb_run, top_idx, axis=1)
+    pnb_out = jnp.take_along_axis(pnb_run, top_idx, axis=1)
+    pb_out = jnp.where(top_vals <= _NEG_INF / 2, _NEG_INF, pb_out)
+    pnb_out = jnp.where(top_vals <= _NEG_INF / 2, _NEG_INF, pnb_out)
+    return orig_idx, pb_out, pnb_out
+
+
+def beam_step(state: BeamState, lp: jnp.ndarray, active: jnp.ndarray,
+              beam: int, topk: int, blank_id: int) -> BeamState:
+    """One frame of prefix beam search.  lp: (B, V) log-probs; active: (B,)."""
+    B, W = state.p_b.shape
+    Lmax = state.toks.shape[-1]
+    V = lp.shape[-1]
+    K = min(topk, V)
+
+    top_lp, top_tok = lax.top_k(lp, K)                   # (B, K)
+    lp_blank = lp[:, blank_id]                           # (B,)
+
+    # ---- candidate 0 per beam: "stay" (extend by blank, or repeat last) ----
+    stay_pb = jnp.logaddexp(state.p_b, state.p_nb) + lp_blank[:, None]
+    # repeat of last non-blank token keeps the prefix, adds to p_nb
+    last_lp = jnp.where(
+        state.last >= 0,
+        jnp.take_along_axis(lp, jnp.maximum(state.last, 0), axis=1),
+        _NEG_INF,
+    )
+    stay_pnb = state.p_nb + last_lp
+
+    # ---- K extension candidates per beam -----------------------------------
+    tok = jnp.broadcast_to(top_tok[:, None, :], (B, W, K))
+    tlp = jnp.broadcast_to(top_lp[:, None, :], (B, W, K))
+    is_blank = tok == blank_id
+    same_as_last = tok == state.last[:, :, None]
+    # extending with token c: from p_b always; from p_nb only if c != last
+    ext_src = jnp.where(
+        same_as_last, state.p_b[:, :, None],
+        jnp.logaddexp(state.p_b, state.p_nb)[:, :, None],
+    )
+    ext_pnb = jnp.where(is_blank, _NEG_INF, ext_src + tlp)
+    ext_hash = state.hashes[:, :, None] * _HASH_P + tok.astype(jnp.uint32) + 1
+
+    # ---- flatten candidates: stay (W) ++ extend (W·K) ----------------------
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((B, W * K), _NEG_INF)], axis=1)
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(B, W * K)], axis=1)
+    cand_hash = jnp.concatenate([state.hashes, ext_hash.reshape(B, W * K)], axis=1)
+    cand_parent = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.arange(W)[None], (B, W)),
+            jnp.broadcast_to(jnp.repeat(jnp.arange(W), K)[None], (B, W * K)),
+        ],
+        axis=1,
+    )
+    cand_token = jnp.concatenate(
+        [jnp.full((B, W), -1, jnp.int32), tok.reshape(B, W * K)], axis=1
+    )
+
+    idx, pb_new, pnb_new = _merge_topk(cand_hash, cand_pb, cand_pnb, cand_parent,
+                                       cand_token, W)
+    parent = jnp.take_along_axis(cand_parent, idx, axis=1)
+    token = jnp.take_along_axis(cand_token, idx, axis=1)
+    hash_new = jnp.take_along_axis(cand_hash, idx, axis=1)
+
+    # rebuild prefix buffers from parents (+ appended token where extension)
+    toks_par = jnp.take_along_axis(
+        state.toks, parent[:, :, None], axis=1
+    )
+    lens_par = jnp.take_along_axis(state.lens, parent, axis=1)
+    last_par = jnp.take_along_axis(state.last, parent, axis=1)
+    is_ext = token >= 0
+    pos = jnp.minimum(lens_par, Lmax - 1)
+    toks_new = jnp.where(
+        is_ext[:, :, None]
+        & (jax.lax.broadcasted_iota(jnp.int32, (B, W, Lmax), 2) == pos[:, :, None]),
+        jnp.maximum(token, 0)[:, :, None],
+        toks_par,
+    )
+    lens_new = jnp.where(is_ext, jnp.minimum(lens_par + 1, Lmax), lens_par)
+    last_new = jnp.where(is_ext, token, last_par)
+
+    new = BeamState(
+        p_b=pb_new, p_nb=pnb_new, hashes=hash_new, last=last_new,
+        toks=toks_new, lens=lens_new,
+    )
+    # frames past in_len: keep previous state
+    keep = active[:, None]
+    return BeamState(
+        p_b=jnp.where(keep, new.p_b, state.p_b),
+        p_nb=jnp.where(keep, new.p_nb, state.p_nb),
+        hashes=jnp.where(keep, new.hashes, state.hashes),
+        last=jnp.where(keep, new.last, state.last),
+        toks=jnp.where(keep[:, :, None], new.toks, state.toks),
+        lens=jnp.where(keep, new.lens, state.lens),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beam", "topk", "blank_id", "max_len")
+)
+def ctc_beam_search(
+    log_probs: jnp.ndarray,    # (B, T, V)
+    in_lens: jnp.ndarray,      # (B,)
+    beam: int = 8,
+    topk: int = 16,
+    blank_id: int = 0,
+    max_len: int = 256,
+    init_state: BeamState | None = None,
+) -> tuple[BeamState, jnp.ndarray]:
+    """Run prefix beam search over a segment.  Returns (final BeamState,
+    per-beam total log-probs (B, W), sorted best-first)."""
+    B, T, V = log_probs.shape
+    state = init_state if init_state is not None else beam_init(B, beam, max_len)
+
+    def step(st, inp):
+        lp_t, t = inp
+        st = beam_step(st, lp_t, t < in_lens, beam, topk, blank_id)
+        return st, None
+
+    state, _ = lax.scan(
+        step, state, (jnp.swapaxes(log_probs, 0, 1), jnp.arange(T))
+    )
+    totals = jnp.logaddexp(state.p_b, state.p_nb)
+    return state, totals
+
+
+def beam_hypotheses(state: BeamState, totals) -> list[list[tuple[float, list[int]]]]:
+    """Host-side: per batch item, list of (score, tokens) best-first."""
+    out = []
+    totals = np.asarray(totals)
+    toks = np.asarray(state.toks)
+    lens = np.asarray(state.lens)
+    B, W = totals.shape
+    for b in range(B):
+        order = np.argsort(-totals[b])
+        hyps = []
+        for w in order:
+            if totals[b, w] <= _NEG_INF / 2:
+                continue
+            hyps.append((float(totals[b, w]), [int(x) for x in toks[b, w, : lens[b, w]]]))
+        out.append(hyps)
+    return out
