@@ -1,0 +1,138 @@
+"""Streaming recognizer: incremental encode + decode with carried state.
+
+The reference's whole design motivation is streaming ASR with propagated
+state (reference README.md:5) but it ships no inference path.  This module
+is that path: feed waveform chunks of any size; complete 25 ms frames are
+featurized and encoded with the carry threaded; greedy (or prefix-beam)
+decoding state advances incrementally, so partial hypotheses are available
+at any time.
+
+The encoder step is a single jitted function of fixed chunk length (audio is
+buffered to ``chunk_frames`` frames) — compile once, stream forever.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from statecatcher_tpu.beam import BeamState, beam_hypotheses, beam_init, ctc_beam_search
+from statecatcher_tpu.config import Config
+from statecatcher_tpu.frontend import compute_features
+from statecatcher_tpu.models.asr import init_carry
+
+
+class StreamingRecognizer:
+    """Single-utterance streaming recognition with carried encoder state."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        cfg: Config,
+        tokenizer=None,
+        chunk_frames: int = 32,
+        decoder: str = "greedy",       # "greedy" | "beam"
+        beam: int = 8,
+        blank_id: int = 0,
+    ):
+        self.model = model
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.decoder = decoder
+        self.beam = beam
+        self.blank_id = blank_id
+        fe = cfg.frontend
+        self.chunk_frames = chunk_frames
+        # samples consumed per encoder chunk; win−hop lookahead stays buffered
+        self.chunk_samples = fe.hop_length * chunk_frames
+        self.lookahead = fe.n_fft - fe.hop_length
+
+        self._buffer = np.zeros(0, dtype=np.float32)
+        self._carry = init_carry(cfg.model, 1)
+        self._tokens: list[int] = []
+        self._prev_argmax = -1
+        self._beam_state: Optional[BeamState] = None
+
+        @jax.jit
+        def _encode_chunk(params, audio, carry):
+            feats = compute_features(audio, fe)
+            logits, new_carry = model.apply(params, feats, carry, None)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            return lp, new_carry
+
+        self._encode_chunk = _encode_chunk
+
+    # ------------------------------------------------------------------ #
+    def accept_waveform(self, samples: np.ndarray):
+        """Feed samples (float32, model sample rate); decode what completes."""
+        self._buffer = np.concatenate([self._buffer, samples.astype(np.float32)])
+        need = self.chunk_samples + self.lookahead
+        while len(self._buffer) >= need:
+            chunk = self._buffer[:need]
+            self._buffer = self._buffer[self.chunk_samples:]
+            lp, self._carry = self._encode_chunk(
+                self.params, jnp.asarray(chunk[None]), self._carry
+            )
+            self._advance_decode(lp)
+
+    def finish(self):
+        """Flush remaining buffered samples (zero-padded to a full chunk)."""
+        if len(self._buffer) > self.lookahead:
+            pad = self.chunk_samples + self.lookahead - len(self._buffer)
+            n_valid = (len(self._buffer) - self.lookahead) // self.cfg.frontend.hop_length
+            chunk = np.concatenate([self._buffer, np.zeros(pad, np.float32)])
+            self._buffer = np.zeros(0, np.float32)
+            lp, self._carry = self._encode_chunk(
+                self.params, jnp.asarray(chunk[None]), self._carry
+            )
+            self._advance_decode(lp[:, :max(n_valid, 0)])
+
+    # ------------------------------------------------------------------ #
+    def _advance_decode(self, lp):
+        T = lp.shape[1]
+        if T == 0:
+            return
+        if self.decoder == "greedy":
+            preds = np.asarray(jnp.argmax(lp[0], axis=-1))
+            for t in range(T):
+                tok = int(preds[t])
+                if tok != self.blank_id and tok != self._prev_argmax:
+                    self._tokens.append(tok)
+                self._prev_argmax = tok
+        else:
+            if self._beam_state is None:
+                self._beam_state = beam_init(1, self.beam, 512)
+            self._beam_state, self._totals = ctc_beam_search(
+                lp, jnp.asarray([T]), beam=self.beam,
+                blank_id=self.blank_id, max_len=512,
+                init_state=self._beam_state,
+            )
+
+    # ------------------------------------------------------------------ #
+    @property
+    def tokens(self) -> list[int]:
+        if self.decoder == "greedy":
+            return list(self._tokens)
+        if self._beam_state is None:
+            return []
+        hyps = beam_hypotheses(self._beam_state, self._totals)[0]
+        return hyps[0][1] if hyps else []
+
+    @property
+    def text(self) -> str:
+        if self.tokenizer is None:
+            return " ".join(map(str, self.tokens))
+        return self.tokenizer.decode_ids(self.tokens)
+
+    def reset(self):
+        self._buffer = np.zeros(0, dtype=np.float32)
+        self._carry = init_carry(self.cfg.model, 1)
+        self._tokens = []
+        self._prev_argmax = -1
+        self._beam_state = None
