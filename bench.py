@@ -67,7 +67,7 @@ def main():
     tokens = jnp.asarray(rng_np.integers(1, 1024, (B, U)).astype(np.int32))
     tok_lens = jnp.full((B,), U, jnp.int32)
     row_valid = jnp.ones((B,), jnp.bool_)
-    carry = init_carry(cfg.model, B)
+    carry = init_carry(cfg.model, B, jnp.dtype(cfg.model.dtype))
 
     # Warmup (compile) + steady state timing
     state, carry, out = train_step(state, carry, audio, mask, tokens, tok_lens, row_valid)

@@ -132,6 +132,10 @@ class TrainConfig:
     model_dir: str = "models"
     save_every_n_updates: Optional[int] = None
     log_every_n: int = 100            # metrics window (reference train.py:215)
+    # Segments per device dispatch: the K-segment loop runs as an on-device
+    # lax.scan in groups of this size (carry threads through); 1 = per-segment
+    # dispatch like the reference host loop.
+    segments_per_dispatch: int = 8
     seed: int = 0
     debug: bool = False               # enables debug_nans + state-detach checks
     profile_dir: Optional[str] = None # jax.profiler trace output

@@ -153,7 +153,9 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
         logger.info("Resumed from %s at step %d", cfg.train.resume_from, global_step)
         prev.close()
 
-    train_step = make_train_step(model, cfg, blank_id=blank_id)
+    from statecatcher_tpu.train.step import make_segment_scan_step
+
+    train_step = make_segment_scan_step(model, cfg, blank_id=blank_id)
 
     if dataset is None:
         dataset = build_dataset(cfg)
@@ -216,47 +218,82 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
             # Reset the carry at each new recording batch (reference
             # train.py:460) — fixed shape B for compile-once.
             carry = model.init_state(B)
+            KG = max(1, cfg.train.segments_per_dispatch)
 
-            for seg_idx in range(K):
+            seg_idx = 0
+            while seg_idx < K and not stop:
+                # group of up to KG segments, capped so step limits are exact
+                group = min(KG, K - seg_idx)
+                if cfg.train.steps:
+                    group = min(group, cfg.train.steps - global_step)
+                group_ids = list(range(seg_idx, seg_idx + group))
+                seg_idx += group
+
                 with timer.time("host_prep"):
-                    audio, mask, texts = stack_segment_slice(
-                        batch, seg_idx, target_samples
-                    )
-                    if n_rows < B:  # pad to fixed batch shape
-                        pad = B - n_rows
-                        audio = np.pad(audio, ((0, pad), (0, 0)))
-                        mask = np.pad(mask, ((0, pad), (0, 0)))
-                        texts = texts + [""] * pad
-                    row_valid = np.arange(B) < n_rows
-                    token_ids = [tokenizer.encode(t) for t in texts]
-                    tokens, tgt_lens = _pad_tokens(token_ids, blank_id)
+                    g_audio, g_mask, g_texts = [], [], []
+                    g_tokens, g_lens = [], []
+                    for si in group_ids:
+                        audio, mask, texts = stack_segment_slice(
+                            batch, si, target_samples
+                        )
+                        if n_rows < B:  # pad to fixed batch shape
+                            pad = B - n_rows
+                            audio = np.pad(audio, ((0, pad), (0, 0)))
+                            mask = np.pad(mask, ((0, pad), (0, 0)))
+                            texts = texts + [""] * pad
+                        token_ids = [tokenizer.encode(t) for t in texts]
+                        g_audio.append(audio)
+                        g_mask.append(mask)
+                        g_texts.append(texts)
+                        g_tokens.append(token_ids)
+                    row_valid = np.broadcast_to(np.arange(B) < n_rows, (KG, B))
+                    seg_valid = np.arange(KG) < group
+                    # common token padding across the group (bucketed)
+                    flat = [t for seg in g_tokens for t in seg]
+                    U = max(max((len(t) for t in flat), default=1), 1)
+                    U = -(-U // 16) * 16
+                    tokens = np.full((KG, B, U), blank_id, dtype=np.int32)
+                    tgt_lens = np.zeros((KG, B), dtype=np.int32)
+                    for gi, seg in enumerate(g_tokens):
+                        for bi, t in enumerate(seg):
+                            tgt_lens[gi, bi] = len(t)
+                            if t:
+                                tokens[gi, bi, : len(t)] = np.asarray(t, np.int32)
+                    # pad the group to fixed KG with invalid segments
+                    while len(g_audio) < KG:
+                        g_audio.append(np.zeros_like(g_audio[0]))
+                        g_mask.append(np.zeros_like(g_mask[0]))
+                        g_texts.append([""] * B)
+                    audio_k = np.stack(g_audio)
+                    mask_k = np.stack(g_mask)
 
                 with timer.time("train_step"):
-                    state, carry, out = train_step(
+                    state, carry, outs = train_step(
                         state, carry,
-                        jnp.asarray(audio), jnp.asarray(mask),
+                        jnp.asarray(audio_k), jnp.asarray(mask_k),
                         jnp.asarray(tokens), jnp.asarray(tgt_lens),
-                        jnp.asarray(row_valid),
+                        jnp.asarray(row_valid), jnp.asarray(seg_valid),
                     )
 
-                global_step += 1
-                loss_val = float(out.loss)
-                losses.append(loss_val)
-                meter.step(float(mask.sum()) / sr)
+                global_step += group
+                loss_vals = np.asarray(outs.loss)[:group]
+                losses.extend(float(x) for x in loss_vals)
+                meter.step(float(mask_k[:group].sum()) / sr)
 
                 if len(losses) >= cfg.train.log_every_n:
                     with timer.time("metrics"):
+                        last = group - 1
                         hyp_lists = keep_to_token_lists(
-                            np.asarray(out.preds), np.asarray(out.keep)
+                            np.asarray(outs.preds[last]), np.asarray(outs.keep[last])
                         )
                         for i in range(n_rows):
                             window_hyps.append(tokenizer.decode_ids(hyp_lists[i]))
-                            window_refs.append(texts[i])
+                            window_refs.append(g_texts[last][i])
                         avg_loss = sum(losses) / len(losses)
                         ter = wer(window_refs, window_hyps)
                         sinks.track(avg_loss, f"avg_loss_{cfg.train.log_every_n}", global_step)
                         sinks.track(ter, f"train_ter_{cfg.train.log_every_n}", global_step)
-                        sinks.track(float(out.grad_norm), "grad_norm", global_step)
+                        sinks.track(float(outs.grad_norm[last]), "grad_norm", global_step)
                         sinks.track(meter.audio_seconds_per_second, "audio_sec_per_sec", global_step)
                         losses.clear()
                         window_refs.clear()
@@ -264,13 +301,12 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
 
                 if (
                     cfg.train.save_every_n_updates
-                    and global_step % cfg.train.save_every_n_updates == 0
+                    and global_step % cfg.train.save_every_n_updates < group
                 ):
                     save(epoch)
 
                 if cfg.train.steps and global_step >= cfg.train.steps:
                     stop = True
-                    break
 
             with timer.time("mark_done"):
                 dataset.mark_batch_done(epoch, batch.batch_id)

@@ -99,56 +99,7 @@ def make_train_step(
     ``batch`` arrays: audio (B, S) f32, sample_mask (B, S) bool,
     tokens (B, U) i32, tok_lens (B,) i32, row_valid (B,) bool.
     """
-    fe = cfg.frontend
-    stack_order = 1
-    mode = cfg.train.mode
-
-    def step(state: TrainState, carry, audio, sample_mask, tokens, tok_lens, row_valid):
-        feats = compute_features(audio, fe)
-        T = feats.shape[1]
-        frame_mask, in_lens = compute_frame_mask(sample_mask, T, stack_order)
-        in_lens = jnp.maximum(in_lens, 1)
-
-        # truncated BPTT boundary (reference model.py:59-63)
-        carry_in = jax.lax.stop_gradient(carry)
-
-        def loss_fn(params):
-            if mode == "rnnt":
-                from statecatcher_tpu.models.rnnt import make_prefix
-                from statecatcher_tpu.ops.rnnt import rnnt_loss_fused
-
-                prefix = make_prefix(tokens, blank_id)
-                logits, new_state, (enc_p, pred_p, jk, jb) = model.apply(
-                    params, feats, carry_in, frame_mask, prefix
-                )
-                loss = rnnt_loss_fused(
-                    enc_p, pred_p, jk, jb,
-                    tokens, in_lens, tok_lens, blank_id=blank_id,
-                    row_valid=row_valid,
-                )
-            else:
-                logits, new_state = model.apply(params, feats, carry_in, frame_mask)
-                per = ctc_loss_per_example(
-                    logits, in_lens, tokens, tok_lens, blank_id=blank_id, impl=ctc_impl
-                )
-                valid = row_valid.astype(per.dtype)
-                loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
-            return loss, (logits, new_state)
-
-        (loss, (logits, new_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        grad_norm = optax.global_norm(grads)
-        state = state.apply_gradients(grads=grads)
-
-        preds, keep = ctc_greedy_decode(
-            jax.lax.stop_gradient(logits), in_lens, blank_id
-        )
-        out = StepOutput(
-            loss=loss, grad_norm=grad_norm, preds=preds, keep=keep, in_lens=in_lens
-        )
-        return state, new_state, out
-
+    step = _make_step_body(model, cfg, blank_id, ctc_impl)
     donate = (0, 1)  # state and carry buffers are donated (updated in place)
     if mesh_plan is None:
         return jax.jit(step, donate_argnums=donate)
@@ -171,6 +122,136 @@ def make_train_step(
             preds=batch_sh, keep=batch_sh, in_lens=batch_sh,
         )),
     )
+
+
+def make_segment_scan_step(
+    model,
+    cfg: Config,
+    blank_id: int = 0,
+    mesh_plan=None,
+    ctc_impl: str = "lattice",
+):
+    """Whole-recording-batch step: ``lax.scan`` over the K segment slices.
+
+    The reference's segment-slice loop (reference train.py:461-590) issues
+    one optimizer step per segment from the host; here the entire K-loop is
+    ONE device dispatch — the carry threads through the scan on-chip, each
+    segment still performs its own gradient update (identical truncated-BPTT
+    semantics), and the host sees only the final state plus stacked
+    per-segment metrics.  This removes all host↔device round-trips between
+    segments (SURVEY.md §7 hard part (c): "the K-loop must become a
+    scan-over-segments").
+
+    Segment axis shapes: audio (K, B, S), sample_mask (K, B, S),
+    tokens (K, B, U), tok_lens (K, B), row_valid (K, B), seg_valid (K,).
+    ``seg_valid=False`` segments leave state/carry untouched (K-bucketing).
+
+    ``carry`` is an explicit argument so the loop can chunk a long
+    recording's segment axis into fixed-size groups (compile once) while the
+    carry threads through groups; it is zero-reset by the loop at each new
+    recording batch (reference train.py:460 semantics).
+    """
+    base_step = _make_step_body(model, cfg, blank_id, ctc_impl)
+
+    def batch_step(state, carry, audio, sample_mask, tokens, tok_lens, row_valid, seg_valid):
+        def body(sc, xs):
+            st, cr = sc
+            a, m, tk, tl, rv, sv = xs
+
+            def do(_):
+                return base_step(st, cr, a, m, tk, tl, rv)
+
+            def skip(_):
+                dummy = StepOutput(
+                    loss=jnp.float32(0), grad_norm=jnp.float32(0),
+                    preds=jnp.zeros(_pred_shape(a, cfg), jnp.int32),
+                    keep=jnp.zeros(_pred_shape(a, cfg), jnp.bool_),
+                    in_lens=jnp.zeros((a.shape[0],), jnp.int32),
+                )
+                return st, cr, dummy
+
+            st2, cr2, out = jax.lax.cond(sv, do, skip, None)
+            return (st2, cr2), out
+
+        (state, carry), outs = jax.lax.scan(
+            body, (state, carry),
+            (audio, sample_mask, tokens, tok_lens, row_valid, seg_valid),
+        )
+        return state, carry, outs
+
+    if mesh_plan is None:
+        return jax.jit(batch_step, donate_argnums=(0, 1))
+
+    batch_sh = mesh_plan.batch_sharding()
+    repl_sh = mesh_plan.replicated_sharding()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    seg_sh = NamedSharding(mesh_plan.mesh, P(None, "data"))   # (K, B, ...) → shard B
+    return jax.jit(
+        batch_step,
+        donate_argnums=(0, 1),
+        in_shardings=(repl_sh, batch_sh, seg_sh, seg_sh, seg_sh, seg_sh, seg_sh, repl_sh),
+        out_shardings=(repl_sh, batch_sh, StepOutput(
+            loss=repl_sh, grad_norm=repl_sh,
+            preds=seg_sh, keep=seg_sh, in_lens=seg_sh,
+        )),
+    )
+
+
+def _pred_shape(audio, cfg: Config):
+    T = num_frames(int(audio.shape[-1]), cfg.frontend)
+    return (audio.shape[0], T)
+
+
+def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
+    """The un-jitted single-segment step body (shared by both step makers)."""
+    fe = cfg.frontend
+    stack_order = 1
+    mode = cfg.train.mode
+
+    def step(state: TrainState, carry, audio, sample_mask, tokens, tok_lens, row_valid):
+        feats = compute_features(audio, fe)
+        T = feats.shape[1]
+        frame_mask, in_lens = compute_frame_mask(sample_mask, T, stack_order)
+        in_lens = jnp.maximum(in_lens, 1)
+        carry_in = jax.lax.stop_gradient(carry)
+
+        def loss_fn(params):
+            if mode == "rnnt":
+                from statecatcher_tpu.models.rnnt import make_prefix
+                from statecatcher_tpu.ops.rnnt import rnnt_loss_fused
+
+                prefix = make_prefix(tokens, blank_id)
+                logits, new_state, (enc_p, pred_p, jk, jb) = model.apply(
+                    params, feats, carry_in, frame_mask, prefix
+                )
+                loss = rnnt_loss_fused(
+                    enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
+                    blank_id=blank_id, row_valid=row_valid,
+                )
+            else:
+                logits, new_state = model.apply(params, feats, carry_in, frame_mask)
+                per = ctc_loss_per_example(
+                    logits, in_lens, tokens, tok_lens, blank_id=blank_id, impl=ctc_impl
+                )
+                valid = row_valid.astype(per.dtype)
+                loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+            return loss, (logits, new_state)
+
+        (loss, (logits, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        grad_norm = optax.global_norm(grads)
+        state = state.apply_gradients(grads=grads)
+        preds, keep = ctc_greedy_decode(
+            jax.lax.stop_gradient(logits), in_lens, blank_id
+        )
+        out = StepOutput(
+            loss=loss, grad_norm=grad_norm, preds=preds, keep=keep, in_lens=in_lens
+        )
+        return state, new_state, out
+
+    return step
 
 
 def init_train_state(model, cfg: Config, rng, feat_dim: int, sample_T: int) -> TrainState:

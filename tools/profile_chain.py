@@ -17,17 +17,22 @@ tok_lens = jnp.full((B,),U,jnp.int32)
 row_valid = jnp.ones((B,),jnp.bool_)
 state = init_train_state(model, cfg, jax.random.PRNGKey(0), 80, 64)
 carry = init_carry(cfg.model, B, jnp.dtype(cfg.model.dtype))
+ts = make_train_step(model, cfg, blank_id=0, ctc_impl="optax")
 
-impl = os.environ.get("PROF_CTC","lattice")
-ts = make_train_step(model, cfg, blank_id=0, ctc_impl=impl)
+K = 10
+@jax.jit
+def multi(state, carry):
+    def body(i, sc):
+        s, c = sc
+        s, c, out = ts(s, c, audio, mask, tokens, tok_lens, row_valid)
+        return (s, c)
+    s, c = jax.lax.fori_loop(0, K, body, (state, carry))
+    return s, c
+
+s2, c2 = multi(state, carry)
+jax.block_until_ready(c2)
 t0=time.perf_counter()
-state, carry, out = ts(state, carry, audio, mask, tokens, tok_lens, row_valid)
-jax.block_until_ready(out.loss)
-print(f"train_step[{impl}] compile+1: {time.perf_counter()-t0:.1f}s", flush=True)
-n=10
-t0=time.perf_counter()
-for _ in range(n):
-    state, carry, out = ts(state, carry, audio, mask, tokens, tok_lens, row_valid)
-jax.block_until_ready(out.loss)
-dt=(time.perf_counter()-t0)/n
-print(f"train_step[{impl}]: {dt*1000:.1f} ms -> {B*sec/dt:.1f} audio-sec/s", flush=True)
+s2, c2 = multi(state, carry)
+jax.block_until_ready(c2)
+dt = (time.perf_counter()-t0)/K
+print(f"chained-in-jit per step: {dt*1000:.1f} ms -> {B*sec/dt:.1f} audio-sec/s", flush=True)

@@ -16,7 +16,7 @@ U=128
 tokens = jnp.asarray(rng.integers(1,1024,(B,U)).astype(np.int32))
 tok_lens = jnp.full((B,),U,jnp.int32)
 row_valid = jnp.ones((B,),jnp.bool_)
-carry = init_carry(cfg.model, B)
+carry = init_carry(cfg.model, B, jnp.dtype(cfg.model.dtype))
 
 for donate in (False, True):
     state = init_train_state(model, cfg, jax.random.PRNGKey(0), 80, 64)
