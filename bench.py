@@ -28,14 +28,18 @@ def main():
 
     from statecatcher_tpu.config import Config
     from statecatcher_tpu.models.asr import build_model, init_carry
-    from statecatcher_tpu.train.step import init_train_state, make_train_step
+    from statecatcher_tpu.train.step import init_train_state, make_segment_scan_step
 
     # Flagship config: canonical hyperparameters (SURVEY.md Appendix B):
     # hidden 512 × 4 layers, vocab 1024, 16 s segments @ 16 kHz, MFCC-80.
+    # The measured unit is the production dispatch: a K-segment on-device
+    # scan with carry threaded and one optimizer update per segment.
     B = int(os.environ.get("BENCH_BATCH", "8"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    K = int(os.environ.get("BENCH_SEGMENTS", "8"))
+    n_disp = int(os.environ.get("BENCH_DISPATCHES", "3"))
     seconds = float(os.environ.get("BENCH_SECONDS", "16.0"))
     kernel = os.environ.get("BENCH_KERNEL", "")  # "" = config default
+    ctc_impl = os.environ.get("BENCH_CTC", "optax")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
 
     over = [
@@ -58,30 +62,33 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     state = init_train_state(model, cfg, rng, fdim, 64)
-    train_step = make_train_step(model, cfg, blank_id=0)
+    train_step = make_segment_scan_step(model, cfg, blank_id=0, ctc_impl=ctc_impl)
 
     rng_np = np.random.default_rng(0)
-    audio = jnp.asarray(rng_np.uniform(-0.3, 0.3, (B, S)).astype(np.float32))
-    mask = jnp.ones((B, S), jnp.bool_)
+    audio = jnp.asarray(rng_np.uniform(-0.3, 0.3, (K, B, S)).astype(np.float32))
+    mask = jnp.ones((K, B, S), jnp.bool_)
     U = 128
-    tokens = jnp.asarray(rng_np.integers(1, 1024, (B, U)).astype(np.int32))
-    tok_lens = jnp.full((B,), U, jnp.int32)
-    row_valid = jnp.ones((B,), jnp.bool_)
+    tokens = jnp.asarray(rng_np.integers(1, 1024, (K, B, U)).astype(np.int32))
+    tok_lens = jnp.full((K, B), U, jnp.int32)
+    row_valid = jnp.ones((K, B), jnp.bool_)
+    seg_valid = jnp.ones((K,), jnp.bool_)
     carry = init_carry(cfg.model, B, jnp.dtype(cfg.model.dtype))
 
     # Warmup (compile) + steady state timing
-    state, carry, out = train_step(state, carry, audio, mask, tokens, tok_lens, row_valid)
-    jax.block_until_ready(out.loss)
+    state, carry, outs = train_step(
+        state, carry, audio, mask, tokens, tok_lens, row_valid, seg_valid
+    )
+    jax.block_until_ready(outs.loss)
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, carry, out = train_step(
-            state, carry, audio, mask, tokens, tok_lens, row_valid
+    for _ in range(n_disp):
+        state, carry, outs = train_step(
+            state, carry, audio, mask, tokens, tok_lens, row_valid, seg_valid
         )
-    jax.block_until_ready(out.loss)
+    jax.block_until_ready(outs.loss)
     dt = time.perf_counter() - t0
 
-    audio_sec_per_sec = B * seconds * steps / dt
+    audio_sec_per_sec = B * seconds * K * n_disp / dt
 
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

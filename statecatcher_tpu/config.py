@@ -124,6 +124,7 @@ class OptimConfig:
 @dataclass(frozen=True)
 class TrainConfig:
     mode: str = "ctc"             # "ctc" | "rnnt"
+    ctc_impl: str = "optax"       # "optax" | "lattice" | "pallas" (A/B numerics)
     compact_rnnt: bool = False
     epochs: int = 10
     steps: Optional[int] = None

@@ -155,7 +155,9 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
 
     from statecatcher_tpu.train.step import make_segment_scan_step
 
-    train_step = make_segment_scan_step(model, cfg, blank_id=blank_id)
+    train_step = make_segment_scan_step(
+        model, cfg, blank_id=blank_id, ctc_impl=cfg.train.ctc_impl
+    )
 
     if dataset is None:
         dataset = build_dataset(cfg)
