@@ -74,18 +74,25 @@ def main():
     seg_valid = jnp.ones((K,), jnp.bool_)
     carry = init_carry(cfg.model, B, jnp.dtype(cfg.model.dtype))
 
-    # Warmup (compile) + steady state timing
+    # Warmup (compile) + steady state timing.  Each dispatch ends with an
+    # actual host fetch of a value derived from the new state — on the axon
+    # tunnel, block_until_ready alone does not reliably wait.
+    def fetch(outs, carry):
+        return float(jnp.sum(outs.loss)) + float(
+            jnp.sum(jax.tree.leaves(carry)[0][0, 0])
+        )
+
     state, carry, outs = train_step(
         state, carry, audio, mask, tokens, tok_lens, row_valid, seg_valid
     )
-    jax.block_until_ready(outs.loss)
+    fetch(outs, carry)
 
     t0 = time.perf_counter()
     for _ in range(n_disp):
         state, carry, outs = train_step(
             state, carry, audio, mask, tokens, tok_lens, row_valid, seg_valid
         )
-    jax.block_until_ready(outs.loss)
+        fetch(outs, carry)
     dt = time.perf_counter() - t0
 
     audio_sec_per_sec = B * seconds * K * n_disp / dt
