@@ -1,0 +1,174 @@
+"""Evaluation harness: WER/CER of a trained model over a dataset.
+
+The reference computes only in-loop train-TER (reference train.py:214-265);
+this harness evaluates a checkpoint on held-out data with the same segment
+streaming + state carry as training, using greedy or prefix-beam decoding.
+
+Usage::
+
+    python -m statecatcher_tpu.eval --ckpt models/<ts> \
+        --data.source local --data.local_dir fixtures/ [--decoder beam]
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from statecatcher_tpu.beam import beam_hypotheses, ctc_beam_search
+from statecatcher_tpu.config import Config
+from statecatcher_tpu.data.pipeline import BatchPipeline, stack_segment_slice
+from statecatcher_tpu.decode import ctc_greedy_decode, keep_to_token_lists
+from statecatcher_tpu.frontend import compute_features, compute_frame_mask
+from statecatcher_tpu.metrics import cer, wer
+from statecatcher_tpu.models.asr import init_carry
+from statecatcher_tpu.models.speech import build_speech_model
+
+
+@dataclass
+class EvalResult:
+    wer: float
+    cer: float
+    num_utterances: int
+    num_segments: int
+    refs: list
+    hyps: list
+
+
+def evaluate(
+    cfg: Config,
+    params,
+    tokenizer,
+    dataset=None,
+    max_batches: int = 10,
+    decoder: str = "greedy",
+    beam: int = 8,
+) -> EvalResult:
+    """Segment-streaming evaluation with carried encoder state.
+
+    Hypotheses are accumulated per recording across its segments (decode on
+    each segment's valid frames, concatenate), mirroring how the stateful
+    model is meant to be consumed.
+    """
+    import dataclasses as dc
+
+    from statecatcher_tpu.train.loop import build_dataset
+
+    model_cfg = dc.replace(cfg.model, vocab_size=tokenizer.vocab_size)
+    model = build_speech_model(model_cfg, 80 if cfg.frontend.kind else 80,
+                               "ctc")
+    blank_id = tokenizer.blank_id
+    if dataset is None:
+        dataset = build_dataset(cfg)
+    dataset.start_session(
+        batch_size=cfg.data.batch_size, order=cfg.data.order,
+        min_duration=cfg.data.min_duration, max_duration=cfg.data.max_duration,
+    )
+    sr = cfg.data.batch_samplerate
+    target_samples = int(sr * cfg.data.target_duration)
+
+    @jax.jit
+    def forward(params, audio, sample_mask, carry):
+        feats = compute_features(audio, cfg.frontend)
+        fm, in_lens = compute_frame_mask(sample_mask, feats.shape[1])
+        logits, new_carry = model.apply(params, feats, carry, fm)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return lp, in_lens, new_carry
+
+    pipe = BatchPipeline(dataset, target_samples, num_workers=cfg.data.num_workers)
+    refs: list[str] = []
+    hyps: list[str] = []
+    n_segments = 0
+    try:
+        for _ in range(max_batches):
+            batch = pipe.next_batch()
+            n_rows = len(batch.audio_items)
+            K = batch.num_segments(cfg.data.batch_segment_strategy)
+            carry = init_carry(model_cfg, n_rows, jnp.dtype(model_cfg.dtype))
+            per_item_hyp = [[] for _ in range(n_rows)]
+            per_item_ref = [[] for _ in range(n_rows)]
+            for seg_idx in range(K):
+                audio, mask, texts = stack_segment_slice(batch, seg_idx, target_samples)
+                lp, in_lens, carry = forward(
+                    params, jnp.asarray(audio), jnp.asarray(mask), carry
+                )
+                n_segments += 1
+                if decoder == "beam":
+                    state, totals = ctc_beam_search(
+                        lp, in_lens, beam=beam, blank_id=blank_id, max_len=512
+                    )
+                    batch_hyps = [
+                        h[0][1] if h else [] for h in beam_hypotheses(state, totals)
+                    ]
+                else:
+                    preds, keep = ctc_greedy_decode(lp, in_lens, blank_id)
+                    batch_hyps = keep_to_token_lists(np.asarray(preds), np.asarray(keep))
+                for i in range(n_rows):
+                    if seg_idx < len(batch.text_items[i]):
+                        per_item_hyp[i].extend(batch_hyps[i])
+                        per_item_ref[i].append(texts[i])
+            for i in range(n_rows):
+                hyps.append(tokenizer.decode_ids(per_item_hyp[i]))
+                refs.append(" ".join(t for t in per_item_ref[i] if t))
+            dataset.mark_batch_done(batch.epoch, batch.batch_id)
+    finally:
+        pipe.stop()
+        dataset.end_session()
+
+    return EvalResult(
+        wer=wer(refs, hyps), cer=cer(refs, hyps),
+        num_utterances=len(refs), num_segments=n_segments,
+        refs=refs, hyps=hyps,
+    )
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    def popopt(name, default=None):
+        if name in argv:
+            i = argv.index(name)
+            v = argv[i + 1]
+            del argv[i:i + 2]
+            return v
+        return default
+
+    ckpt_dir = popopt("--ckpt")
+    decoder = popopt("--decoder", "greedy")
+    max_batches = int(popopt("--max-batches", "10"))
+    cfg = Config().apply_overrides(argv)
+    if ckpt_dir is None:
+        print("--ckpt <run_dir> is required", file=sys.stderr)
+        return 1
+
+    import os
+
+    from statecatcher_tpu.train.checkpoint import CheckpointManager
+    from statecatcher_tpu.train.loop import build_tokenizer
+    from statecatcher_tpu.train.step import init_train_state
+
+    tokenizer = build_tokenizer(cfg)
+    import dataclasses as dc
+
+    model_cfg = dc.replace(cfg.model, vocab_size=tokenizer.vocab_size)
+    model = build_speech_model(model_cfg, 80, "ctc")
+    cfg2 = dc.replace(cfg, model=model_cfg)
+    template = init_train_state(model, cfg2, jax.random.PRNGKey(0), 80, 16)
+    mgr = CheckpointManager(ckpt_dir)
+    state, meta = mgr.restore(template)
+    mgr.close()
+
+    result = evaluate(cfg2, state.params, tokenizer,
+                      max_batches=max_batches, decoder=decoder)
+    print(f"WER: {result.wer:.4f}  CER: {result.cer:.4f}  "
+          f"({result.num_utterances} utterances, {result.num_segments} segments)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
