@@ -118,6 +118,17 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
     _setup_logging(run_dir)
     logger.info("Run directory: %s", run_dir)
 
+    if cfg.train.debug:
+        from statecatcher_tpu.debug import enable_debug
+
+        enable_debug()
+    profiler_ctx = None
+    if cfg.train.profile_dir:
+        from statecatcher_tpu.debug import profile as profile_ctx
+
+        profiler_ctx = profile_ctx(cfg.train.profile_dir)
+        profiler_ctx.__enter__()
+
     tokenizer = build_tokenizer(cfg)
     vocab_size = tokenizer.vocab_size
     blank_id = tokenizer.blank_id
@@ -323,6 +334,12 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
         ckpt.wait()
         ckpt.close()
         sinks.close()
+        if profiler_ctx is not None:
+            profiler_ctx.__exit__(None, None, None)
+        if cfg.train.debug and global_step > 0:
+            from statecatcher_tpu.debug import check_carry
+
+            check_carry(jax.device_get(carry), batch_size=B)
         logger.info("Stage timing: %s", timer.summary())
 
     return {
