@@ -31,6 +31,15 @@ def decode_audio(data: bytes, target_sr: int) -> np.ndarray:
     (dataset.py:163-164).
     """
     if _is_wav(data):
+        # native C++ fast path (statecatcher_tpu/native); identical semantics
+        try:
+            from statecatcher_tpu.native import decode_wav_native
+
+            out = decode_wav_native(data, target_sr)
+            if out is not None:
+                return out
+        except Exception:
+            pass
         wav, sr, _ = read_wav_bytes(data)
         wav = to_mono(wav)
         if sr != target_sr:

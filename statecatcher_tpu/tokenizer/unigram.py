@@ -63,6 +63,16 @@ class UnigramTokenizer:
         self._id_of = {p: i for i, p in enumerate(self._pieces) if i >= 2}
         self._logp = {p: self._scores[i] for p, i in self._id_of.items()}
         self._max_len = max((len(p) for p in pieces), default=1)
+        self._native = None
+        try:
+            from statecatcher_tpu.native import NativeVocab, available
+
+            if available():
+                ids = [self._id_of[p] for p in pieces]
+                sc = [self._logp[p] for p in pieces]
+                self._native = NativeVocab(list(pieces), ids, sc)
+        except Exception:
+            self._native = None
 
     # ------------------------------------------------------------------ #
     # Training
@@ -145,6 +155,13 @@ class UnigramTokenizer:
         ids: list[int] = []
         for w in text.split():
             word = _WS + w
+            if self._native is not None:
+                native_ids = self._native.encode_word(word)
+                if native_ids is not None:
+                    ids.extend(native_ids)
+                    continue
+                ids.extend(self._encode_with_unk(word))
+                continue
             seg = _viterbi_segment(word, self._logp, self._max_len)
             if not seg:
                 # unknown character(s): segment around them, emit UNK
