@@ -79,6 +79,9 @@ class ModelConfig:
     hidden_size: int = 512
     num_layers: int = 4
     input_proj_dim: int = -1       # -1 = no input projection
+    # Stack this many consecutive feature frames into one (time downsample ×
+    # feature widen) before the encoder — reference lucyrnn.py:92-99.
+    stack_order: int = 1
     vocab_size: int = 1024
     dtype: str = "float32"         # compute dtype for activations ("bfloat16" on TPU)
     param_dtype: str = "float32"

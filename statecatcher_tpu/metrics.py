@@ -102,6 +102,40 @@ class JsonlSink(MetricsSink):
         self._f.close()
 
 
+class AimSink(MetricsSink):
+    """Aim experiment tracking (reference train.py:44-48,316-319) — gated on
+    the aim package being installed; construction raises ImportError if not."""
+
+    def __init__(self, experiment: str):
+        import aim  # gated optional dependency (not baked into this image)
+
+        self._run = aim.Run(experiment=experiment)
+
+    def track(self, value, name, step):
+        self._run.track(value, name=name, step=step)
+
+    def set_params(self, params):
+        self._run["hparams"] = params
+
+    def close(self):
+        self._run.close()
+
+
+def make_sinks(logger, run_dir: str, experiment: str) -> "MultiSink":
+    """Default sink stack: log + JSONL (+ Aim when importable)."""
+    import os
+
+    sinks: list[MetricsSink] = [
+        LoggingSink(logger),
+        JsonlSink(os.path.join(run_dir, "metrics.jsonl")),
+    ]
+    try:
+        sinks.append(AimSink(experiment))
+    except ImportError:
+        pass
+    return MultiSink(sinks)
+
+
 class MultiSink(MetricsSink):
     def __init__(self, sinks: list[MetricsSink]):
         self.sinks = sinks

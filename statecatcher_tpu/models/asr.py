@@ -34,6 +34,7 @@ class ASRModel(nn.Module):
     def _encoder(self):
         cfg = self.cfg
         enc_in = cfg.input_proj_dim if cfg.input_proj_dim > 0 else self.feat_dim
+        enc_in *= max(1, cfg.stack_order)
         if cfg.encoder == "lstm":
             return LSTMEncoder(
                 input_dim=enc_in, hidden_size=cfg.hidden_size,
@@ -71,6 +72,16 @@ class ASRModel(nn.Module):
                 cfg.input_proj_dim, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="proj",
             )(x)
+
+        if cfg.stack_order > 1:
+            # Frame stacking (reference lucyrnn.py:92-99): trim T to a
+            # multiple of the stack, fold consecutive frames into features.
+            # The caller's frame_mask is already at the stacked rate
+            # (frontend.compute_frame_mask with stack_order).
+            s = cfg.stack_order
+            B, T, F = x.shape
+            Tt = T - (T % s)
+            x = x[:, :Tt].reshape(B, Tt // s, F * s)
 
         encoder = self._encoder()
         if cfg.encoder == "lstm":

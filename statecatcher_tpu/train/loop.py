@@ -177,7 +177,10 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
         min_duration=cfg.data.min_duration, max_duration=cfg.data.max_duration,
     )
 
-    sinks = MultiSink([LoggingSink(logger), JsonlSink(os.path.join(run_dir, "metrics.jsonl"))])
+    from statecatcher_tpu.metrics import make_sinks
+
+    experiment = f"asr_statecatcher_{os.path.basename(run_dir)}"
+    sinks = make_sinks(logger, run_dir, experiment)
     sinks.set_params({
         "encoder": model_cfg.encoder, "frontend": cfg.frontend.kind,
         "mode": cfg.train.mode, "lr": cfg.train.optim.lr,

@@ -200,13 +200,16 @@ def make_segment_scan_step(
 
 def _pred_shape(audio, cfg: Config):
     T = num_frames(int(audio.shape[-1]), cfg.frontend)
+    s = max(1, cfg.model.stack_order)
+    if s > 1:
+        T = T // s
     return (audio.shape[0], T)
 
 
 def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
     """The un-jitted single-segment step body (shared by both step makers)."""
     fe = cfg.frontend
-    stack_order = 1
+    stack_order = max(1, cfg.model.stack_order)
     mode = cfg.train.mode
 
     def step(state: TrainState, carry, audio, sample_mask, tokens, tok_lens, row_valid):

@@ -108,3 +108,16 @@ def test_train_e2e_rnnt(tmp_path, rng):
     ]
     losses = [m["avg_loss_4"] for m in metrics if "avg_loss_4" in m]
     assert losses and all(np.isfinite(l) for l in losses)
+
+
+def test_train_e2e_stack_order(tmp_path, rng):
+    """Frame stacking (reference lucyrnn.py:92-99): encoder runs at T/stack."""
+    from statecatcher_tpu.train.loop import train
+
+    data = _fixture_dir(tmp_path / "data", rng)
+    cfg = _tiny_cfg(data, str(tmp_path / "models"), encoder="lucyrnn")
+    cfg = cfg.apply_overrides([
+        "--model.stack_order", "3", "--train.steps", "4",
+    ])
+    summary = train(cfg)
+    assert summary["global_step"] == 4
