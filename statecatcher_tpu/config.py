@@ -48,10 +48,12 @@ class LucyRNNConfig:
     num_layers: int = 4
     num_tracks: int = 1
     # Kernel implementation for the time recurrence:
+    #   "auto"      — pallas on TPU, assoc elsewhere
     #   "pallas"    — fused Pallas scan kernel (TPU)
     #   "assoc"     — jax.lax.associative_scan (parallel-in-time, any backend)
+    #   "chunked"   — chunk-vectorized scan (fast, slow to compile in grads)
     #   "xla-scan"  — jax.lax.scan (sequential reference semantics)
-    kernel_impl: str = "assoc"
+    kernel_impl: str = "auto"
     # If True, frames where mask==0 leave (h, s) unchanged.  The reference
     # ignores masks in the LucyRNN forward (lucyrnn_triton.py:111 accepts but
     # never reads `masks`); False reproduces that behavior.

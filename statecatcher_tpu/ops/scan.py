@@ -109,7 +109,11 @@ def linear_scan_chunked(
     return out[:, :T]
 
 
-def linear_scan(a, b, s0, impl: str = "assoc") -> jnp.ndarray:
+def linear_scan(a, b, s0, impl: str = "auto") -> jnp.ndarray:
+    if impl == "auto":
+        # pallas on TPU (fastest measured, fast compile); associative scan
+        # elsewhere (pallas would need interpret mode off-TPU)
+        impl = "pallas" if jax.default_backend() == "tpu" else "assoc"
     if impl == "assoc":
         return linear_scan_assoc(a, b, s0)
     if impl == "chunked":
