@@ -80,20 +80,3 @@ def make_mesh_plan(
     )
 
 
-def pad_batch_to_multiple(arrays: dict, batch_axis_size: int, multiple: int):
-    """Pad leading (batch) dim so it divides the data axis; returns
-    (padded_arrays, row_valid mask)."""
-    import numpy as np
-
-    B = batch_axis_size
-    target = -(-B // multiple) * multiple
-    pad = target - B
-    out = {}
-    for k, v in arrays.items():
-        if pad:
-            widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
-            out[k] = np.pad(v, widths)
-        else:
-            out[k] = v
-    valid = np.arange(target) < B
-    return out, valid

@@ -20,7 +20,38 @@ from statecatcher_tpu.config import Config
 from statecatcher_tpu.data.pipeline import BatchPipeline, stack_segment_slice
 
 
-def simulate_training_loop(cfg: Config, max_batches: int = 2, verbose: bool = True):
+def plot_batch_waveforms(audio, texts, epoch, batch_id, seg_idx, out_dir="plots"):
+    """Waveform debug plots (reference dataset.py:268-289): one figure per
+    segment slice, one row per batch item with its transcript as title."""
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    num_items = len(audio)
+    fig = plt.figure(figsize=(12, 2.5 * num_items))
+    for i, (waveform, text) in enumerate(zip(audio, texts)):
+        ax = fig.add_subplot(num_items, 1, i + 1)
+        ax.plot(np.asarray(waveform))
+        ax.set_xlim(0, len(waveform))
+        ax.set_ylabel(f"Item {i + 1}")
+        ax.set_xticks([])
+        ax.set_yticks([])
+        ax.set_title(text[:80], fontsize=8, pad=2)
+    plt.tight_layout()
+    fname = os.path.join(
+        out_dir, f"batch{epoch:04d}_batch{int(batch_id):05d}_segment{seg_idx:05d}.pdf"
+    )
+    plt.savefig(fname)
+    plt.close(fig)
+    return fname
+
+
+def simulate_training_loop(cfg: Config, max_batches: int = 2, verbose: bool = True,
+                           debug_spectrograms: bool = False):
     from statecatcher_tpu.train.loop import build_dataset
 
     ds = build_dataset(cfg)
@@ -47,6 +78,8 @@ def simulate_training_loop(cfg: Config, max_batches: int = 2, verbose: bool = Tr
                 audio, mask, texts = stack_segment_slice(batch, seg_idx, target_samples)
                 stats["segments"] += 1
                 stats["audio_seconds"] += float(mask.sum()) / cfg.data.batch_samplerate
+                if debug_spectrograms:
+                    plot_batch_waveforms(audio, texts, batch.epoch, batch.batch_id, seg_idx)
                 if verbose:
                     print(
                         f"  seg {seg_idx}: audio{audio.shape} "
@@ -70,8 +103,12 @@ def main(argv=None):
         i = argv.index("--batches")
         max_batches = int(argv[i + 1])
         del argv[i:i + 2]
+    debug_spectrograms = "--debug-spectrograms" in argv
+    if debug_spectrograms:
+        argv.remove("--debug-spectrograms")
     cfg = Config().apply_overrides(argv)
-    simulate_training_loop(cfg, max_batches=max_batches)
+    simulate_training_loop(cfg, max_batches=max_batches,
+                           debug_spectrograms=debug_spectrograms)
     return 0
 
 

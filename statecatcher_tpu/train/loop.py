@@ -33,14 +33,7 @@ from statecatcher_tpu.data.pipeline import BatchPipeline, stack_segment_slice
 from statecatcher_tpu.decode import keep_to_token_lists
 from statecatcher_tpu.frontend import feat_dim as frontend_feat_dim
 from statecatcher_tpu.frontend import num_frames
-from statecatcher_tpu.metrics import (
-    LoggingSink,
-    JsonlSink,
-    MultiSink,
-    StageTimer,
-    ThroughputMeter,
-    wer,
-)
+from statecatcher_tpu.metrics import StageTimer, ThroughputMeter, wer
 from statecatcher_tpu.models.speech import build_speech_model
 from statecatcher_tpu.tokenizer import CharTokenizer, load_tokenizer
 from statecatcher_tpu.train.checkpoint import CheckpointManager, setup_run_dir

@@ -62,3 +62,19 @@ def test_train_tokenizer_from_vtt_dir(tmp_path, rng):
     assert rc == 0
     tok = load_tokenizer(prefix + ".json")
     assert tok.decode_ids(tok.encode("hello")) == "hello"
+
+
+def test_simulate_debug_spectrograms(tmp_path, rng, monkeypatch):
+    from statecatcher_tpu.simulate import simulate_training_loop
+
+    root = _fixtures(tmp_path / "d", rng)
+    monkeypatch.chdir(tmp_path)
+    cfg = Config().apply_overrides([
+        "--data.source", "local", "--data.local_dir", root,
+        "--data.batch_samplerate", "8000", "--data.batch_size", "2",
+        "--data.target_duration", "1.5", "--data.num_workers", "2",
+    ])
+    simulate_training_loop(cfg, max_batches=1, verbose=False,
+                           debug_spectrograms=True)
+    plots = list((tmp_path / "plots").glob("*.pdf"))
+    assert plots, "waveform plot PDFs should be written"
