@@ -159,8 +159,25 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
 
     from statecatcher_tpu.train.step import make_segment_scan_step
 
+    # Data-parallel mesh when more than one device is available (and B
+    # divides): batches + carry shard batch-major; XLA emits the gradient
+    # allreduce.  Single-device runs take the unsharded path.
+    mesh_plan = None
+    n_dev = len(jax.devices())
+    dp = cfg.mesh.data_parallel if cfg.mesh.data_parallel > 0 else n_dev
+    if dp > 1 and n_dev >= dp and B % dp == 0:
+        from statecatcher_tpu.parallel.mesh import make_mesh_plan
+
+        mesh_plan = make_mesh_plan(cfg.mesh)
+        state = mesh_plan.shard_replicated(state)
+        logger.info(
+            "data-parallel mesh: %d×%d devices, %d rows/device",
+            mesh_plan.data_size, mesh_plan.model_size, B // mesh_plan.data_size,
+        )
+
     train_step = make_segment_scan_step(
-        model, cfg, blank_id=blank_id, ctc_impl=cfg.train.ctc_impl
+        model, cfg, blank_id=blank_id, ctc_impl=cfg.train.ctc_impl,
+        mesh_plan=mesh_plan,
     )
 
     if dataset is None:

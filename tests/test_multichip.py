@@ -94,3 +94,33 @@ def test_carry_rows_shard_with_batch(rng):
     # each device holds exactly B/8 rows
     shard_shapes = {s.data.shape for s in carry["h"].addressable_shards}
     assert shard_shapes == {(2,) + carry["h"].shape[1:]}
+
+
+def test_training_loop_on_mesh(tmp_path, rng):
+    """Full train() with data_parallel=8 over the virtual CPU mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 devices")
+    from statecatcher_tpu.data.audio import write_wav_bytes
+    from statecatcher_tpu.train.loop import train
+
+    d = tmp_path / "data"
+    d.mkdir(parents=True)
+    sr = 8000
+    for i in range(4):
+        x = (rng.uniform(-0.3, 0.3, size=2 * sr)).astype(np.float32)
+        (d / f"r{i}.wav").write_bytes(write_wav_bytes(x, sr))
+        (d / f"r{i}.vtt").write_text(
+            "WEBVTT\n\n00:00:00.000 --> 00:00:02.000\nhello mesh world\n"
+        )
+    cfg = Config().apply_overrides([
+        "--model.encoder", "lucyrnn", "--model.hidden_size", "16",
+        "--model.num_layers", "1",
+        "--data.source", "local", "--data.local_dir", str(d),
+        "--data.batch_samplerate", "8000", "--data.batch_size", "8",
+        "--data.target_duration", "1.0", "--data.num_workers", "2",
+        "--train.model_dir", str(tmp_path / "models"),
+        "--train.steps", "3", "--train.log_every_n", "2",
+        "--mesh.data_parallel", "8",
+    ])
+    summary = train(cfg)
+    assert summary["global_step"] == 3
