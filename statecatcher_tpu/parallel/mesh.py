@@ -55,6 +55,39 @@ class MeshPlan:
         return jax.device_put(tree, self.replicated_sharding())
 
 
+def tp_param_spec(path_str: str, ndim: int) -> P:
+    """Tensor-parallel PartitionSpec for a parameter by name/rank.
+
+    Megatron-style column parallelism on the recurrent cells' fused gate
+    projections: the 7·D gate output dim shards across 'model', which makes
+    the scans (elementwise in D) run on D/mp shards with no per-step
+    collectives; XLA's sharding propagation inserts the all-gathers at the
+    layer norms / output projection where full-D tensors are needed.
+    """
+    shard_out = ("gate_proj" in path_str or path_str.endswith("w_ih/kernel")
+                 or "/q/" in path_str or "/k/" in path_str or "/v/" in path_str
+                 or "/gate/" in path_str or "/up/" in path_str)
+    if shard_out and ndim == 2:
+        return P(None, "model")
+    if shard_out and ndim == 1:
+        return P("model")
+    return P()
+
+
+def shard_params_tp(params, plan: "MeshPlan"):
+    """Apply tensor-parallel shardings to a params pytree."""
+    import jax.tree_util as jtu
+
+    def place(path, leaf):
+        path_str = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", ""))) for p in path
+        )
+        spec = tp_param_spec(path_str, leaf.ndim)
+        return jax.device_put(leaf, NamedSharding(plan.mesh, spec))
+
+    return jtu.tree_map_with_path(place, params)
+
+
 def make_mesh_plan(
     cfg: MeshConfig, devices: Optional[list] = None
 ) -> MeshPlan:

@@ -187,11 +187,14 @@ def make_segment_scan_step(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     seg_sh = NamedSharding(mesh_plan.mesh, P(None, "data"))   # (K, B, ...) → shard B
+    # state shardings are unspecified (None) so mixed layouts work: replicated
+    # DP-only params as well as tensor-parallel params sharded on 'model'
+    # (parallel/mesh.py shard_params_tp) both pass through unchanged.
     return jax.jit(
         batch_step,
         donate_argnums=(0, 1),
-        in_shardings=(repl_sh, batch_sh, seg_sh, seg_sh, seg_sh, seg_sh, seg_sh, repl_sh),
-        out_shardings=(repl_sh, batch_sh, StepOutput(
+        in_shardings=(None, batch_sh, seg_sh, seg_sh, seg_sh, seg_sh, seg_sh, repl_sh),
+        out_shardings=(None, batch_sh, StepOutput(
             loss=repl_sh, grad_norm=repl_sh,
             preds=seg_sh, keep=seg_sh, in_lens=seg_sh,
         )),
