@@ -60,10 +60,18 @@ def lucy_cell_parallel(
     composes exactly under the associative scan.  (The reference ignores
     masks here; pass None for parity.)
 
-    ``impl`` selects the linear-scan primitive (ops/scan.py): the elementwise
-    gate math stays in XLA (it fuses into neighbors); only the recurrences
-    differ — "pallas" uses the fused TPU chunk-scan kernel.
+    ``impl`` selects the recurrence implementation:
+      * "pallas-fused" — ONE Pallas kernel for gate math + both scans
+        (ops/lucy_pallas.py:lucy_fused_cell; lowest HBM traffic)
+      * "pallas" — XLA gate math + Pallas scan kernels
+      * "assoc"/"chunked"/"xla-scan" — XLA-only scan variants (ops/scan.py)
     """
+    if impl in ("pallas-fused", "auto-fused"):
+        from statecatcher_tpu.ops.lucy_pallas import lucy_fused_cell
+
+        h_all, s_all = lucy_fused_cell(gates, h0, s0, frame_mask)
+        return h_all, h_all[:, -1, :], s_all[:, -1, :]
+
     r, z, k, v, h_pre, decay, alpha = [
         gates[:, :, i, :] for i in range(7)
     ]

@@ -139,3 +139,261 @@ def _bwd(res, g):
 linear_scan_pallas.defvjp(_fwd, _bwd)
 
 
+# =========================================================================== #
+# Fully-fused LucyRNN cell: gate normalization + both recurrences in ONE
+# kernel pass over the gates.
+#
+# Per (b, d-block, t-chunk): load the (C, 7, BD) gate tile once, do the
+# grouped-RMS/sigmoid gate math in registers, run the s-scan and the h-scan
+# as Hillis-Steele compositions, write h and s tiles.  HBM traffic per layer
+# drops from ~16 plane-passes (separate gate math + 2 scan kernels + tanh)
+# to 7 reads + 2 writes.
+#
+# Backward (custom_vjp): the elementwise gate chain is re-derived by jax.vjp
+# of the same math in XLA (recompute-from-gates), and the two adjoint
+# recurrences λ_t = g_t + a_{t+1}·λ_{t+1} run through the Pallas reverse
+# scan — so the kernel needs no hand-written derivative of the RMS coupling.
+# =========================================================================== #
+_EPS = 1e-6
+
+
+def _lucy_elementwise(gates, frame_mask=None):
+    """Raw gates (B, T, 7, D) → scan coefficients (a_s, b_s, a_h, bh_c, h_pre_n).
+
+    Same math as models/lucyrnn.py:lucy_cell_parallel up to the scans;
+    ``bh_c`` is (1 − z_n) (the h-scan's b is (1 − z_n)·c with c computed
+    from the s-scan output).
+    """
+    r = gates[:, :, 0, :]
+    z = gates[:, :, 1, :]
+    k = gates[:, :, 2, :]
+    v = gates[:, :, 3, :]
+    h_pre = gates[:, :, 4, :]
+    decay = gates[:, :, 5, :]
+    alpha = gates[:, :, 6, :]
+    rms_rz = jnp.sqrt((jnp.square(r) + jnp.square(z)) / 2 + _EPS)
+    rms_kv2 = (jnp.square(k) + jnp.square(v)) / 2 + _EPS
+    rms_kv = jnp.sqrt(rms_kv2)
+    rms_d = jnp.sqrt(jnp.square(decay) + _EPS)
+    rms_a = jnp.sqrt(jnp.square(alpha) + _EPS)
+    rms_h = jnp.sqrt(jnp.square(h_pre) + _EPS)
+    z_n = jax.nn.sigmoid(z / rms_rz)
+    decay_n = jax.nn.sigmoid(decay / rms_d)
+    alpha_n = jax.nn.sigmoid(alpha / rms_a)
+    h_pre_n = h_pre / rms_h
+    kv = (k / rms_kv) * (v / rms_kv) / (rms_kv2 + _EPS)
+    a_s = decay_n
+    b_s = alpha_n * kv
+    a_h = z_n
+    bh_c = 1.0 - z_n
+    if frame_mask is not None:
+        m = frame_mask[..., None].astype(a_s.dtype)
+        a_s = m * a_s + (1.0 - m)
+        b_s = m * b_s
+        a_h = m * a_h + (1.0 - m)
+        bh_c = m * bh_c
+    return a_s, b_s, a_h, bh_c, h_pre_n
+
+
+def _hillis_steele(A, Bv, C):
+    k = 1
+    while k < C:
+        a_sh = pltpu.roll(A, k, 0)
+        b_sh = pltpu.roll(Bv, k, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
+        valid = row >= k
+        a_sh = jnp.where(valid, a_sh, 1.0)
+        b_sh = jnp.where(valid, b_sh, 0.0)
+        Bv = A * b_sh + Bv
+        A = A * a_sh
+        k *= 2
+    return A, Bv
+
+
+def _fused_cell_kernel(C, BD, masked: bool):
+    def kernel(*refs):
+        if masked:
+            (h0_ref, s0_ref, gates_ref, mask_ref,
+             h_out_ref, s_out_ref, hc_ref, sc_ref) = refs
+        else:
+            (h0_ref, s0_ref, gates_ref,
+             h_out_ref, s_out_ref, hc_ref, sc_ref) = refs
+        it = pl.program_id(2)
+
+        @pl.when(it == 0)
+        def _():
+            hc_ref[:] = h0_ref[0].astype(jnp.float32)
+            sc_ref[:] = s0_ref[0].astype(jnp.float32)
+
+        g = gates_ref[0].astype(jnp.float32)           # (C, 7, BD)
+        r = g[:, 0, :]
+        z = g[:, 1, :]
+        k = g[:, 2, :]
+        v = g[:, 3, :]
+        h_pre = g[:, 4, :]
+        decay = g[:, 5, :]
+        alpha = g[:, 6, :]
+        rms_rz = jnp.sqrt((r * r + z * z) / 2 + _EPS)
+        rms_kv2 = (k * k + v * v) / 2 + _EPS
+        rms_kv = jnp.sqrt(rms_kv2)
+        z_n = jax.nn.sigmoid(z / rms_rz)
+        decay_n = jax.nn.sigmoid(decay / jnp.sqrt(decay * decay + _EPS))
+        alpha_n = jax.nn.sigmoid(alpha / jnp.sqrt(alpha * alpha + _EPS))
+        h_pre_n = h_pre / jnp.sqrt(h_pre * h_pre + _EPS)
+        kv = (k / rms_kv) * (v / rms_kv) / (rms_kv2 + _EPS)
+
+        a_s = decay_n
+        b_s = alpha_n * kv
+        a_h = z_n
+        bh_c = 1.0 - z_n
+        if masked:
+            m = mask_ref[0].astype(jnp.float32)        # (C, BD)
+            a_s = m * a_s + (1.0 - m)
+            b_s = m * b_s
+            a_h = m * a_h + (1.0 - m)
+            bh_c = m * bh_c
+
+        As, Bs = _hillis_steele(a_s, b_s, C)
+        s = Bs + As * sc_ref[0:1, :]
+        c = jnp.tanh(h_pre_n + s)
+        Ah, Bh = _hillis_steele(a_h, bh_c * c, C)
+        h = Bh + Ah * hc_ref[0:1, :]
+
+        h_out_ref[0] = h.astype(h_out_ref.dtype)
+        s_out_ref[0] = s.astype(s_out_ref.dtype)
+        hc_ref[:] = jnp.broadcast_to(h[C - 1:C, :], hc_ref.shape)
+        sc_ref[:] = jnp.broadcast_to(s[C - 1:C, :], sc_ref.shape)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _fused_cell_fwd_impl(gates, h0, s0, frame_mask, chunk: int = 256):
+    B, T, G, D = gates.shape
+    assert G == 7
+    C = min(chunk, max(8, T))
+    pad_t = (-T) % C
+    pad_d = (-D) % _LANE
+    masked = frame_mask is not None
+    if pad_t or pad_d:
+        gates = jnp.pad(gates, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
+        h0 = jnp.pad(h0, ((0, 0), (0, pad_d)))
+        s0 = jnp.pad(s0, ((0, 0), (0, pad_d)))
+        if masked:
+            frame_mask = jnp.pad(frame_mask, ((0, 0), (0, pad_t)))
+    Tp, Dp = T + pad_t, D + pad_d
+    BD = _LANE
+    grid = (B, Dp // BD, Tp // C)
+    h0_t = jnp.broadcast_to(h0[:, None, :], (B, 8, Dp))
+    s0_t = jnp.broadcast_to(s0[:, None, :], (B, 8, Dp))
+
+    in_specs = [
+        pl.BlockSpec((1, 8, BD), lambda ib, id_, it: (ib, 0, id_),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, BD), lambda ib, id_, it: (ib, 0, id_),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, 7, BD), lambda ib, id_, it: (ib, it, 0, id_),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [h0_t, s0_t, gates]
+    if masked:
+        mask_f = jnp.broadcast_to(
+            frame_mask[:, :, None].astype(gates.dtype), (B, Tp, Dp)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, C, BD), lambda ib, id_, it: (ib, it, id_),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask_f)
+
+    h_all, s_all = pl.pallas_call(
+        _fused_cell_kernel(C, BD, masked),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Tp, Dp), gates.dtype),
+            jax.ShapeDtypeStruct((B, Tp, Dp), gates.dtype),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, C, BD), lambda ib, id_, it: (ib, it, id_),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, BD), lambda ib, id_, it: (ib, it, id_),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, BD), jnp.float32),
+            pltpu.VMEM((8, BD), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*args)
+    return h_all[:, :T, :D], s_all[:, :T, :D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def lucy_fused_cell(gates, h0, s0, frame_mask):
+    """Fused 7-gate cell: (gates (B,T,7,D), h0, s0[, mask]) → (h_all, s_all)."""
+    return _fused_cell_fwd_impl(gates, h0, s0, frame_mask)
+
+
+def _fused_fwd(gates, h0, s0, frame_mask):
+    h_all, s_all = _fused_cell_fwd_impl(gates, h0, s0, frame_mask)
+    return (h_all, s_all), (gates, h0, s0, frame_mask, h_all, s_all)
+
+
+def _fused_bwd(res, cotangents):
+    gates, h0, s0, frame_mask, h_all, s_all = res
+    g_h, g_s = cotangents
+    g_h = g_h.astype(jnp.float32)
+    g_s = g_s.astype(jnp.float32)
+    B, T, _, D = gates.shape
+
+    # Recompute the elementwise chain (and capture its VJP) in XLA.
+    (a_s, b_s, a_h, bh_c, h_pre_n), elem_vjp = jax.vjp(
+        lambda g: _lucy_elementwise(g, frame_mask), gates.astype(jnp.float32)
+    )
+    s_prev = jnp.concatenate(
+        [s0.astype(jnp.float32)[:, None, :], s_all.astype(jnp.float32)[:, :-1]],
+        axis=1,
+    )
+    h_prev = jnp.concatenate(
+        [h0.astype(jnp.float32)[:, None, :], h_all.astype(jnp.float32)[:, :-1]],
+        axis=1,
+    )
+    c = jnp.tanh(h_pre_n + s_all.astype(jnp.float32))
+
+    def reverse_scan(a, g):
+        a_rev = jnp.flip(a, axis=1)
+        a_shift = jnp.concatenate(
+            [jnp.ones((B, 1, D), a.dtype), a_rev[:, :-1]], axis=1
+        )
+        lam_rev = _linear_scan_pallas_fwd_impl(
+            a_shift, jnp.flip(g, axis=1), jnp.zeros((B, D), a.dtype)
+        )
+        return jnp.flip(lam_rev, axis=1)
+
+    # h-recurrence adjoint: h_t = a_h·h_{t-1} + bh_c·c_t
+    lam_h = reverse_scan(a_h, g_h)
+    d_a_h = lam_h * h_prev
+    d_bhc = lam_h * c
+    d_c = lam_h * bh_c
+    dh0 = lam_h[:, 0] * a_h[:, 0]
+
+    # c = tanh(h_pre_n + s): both inputs get d_c·(1−c²)
+    d_pre_s = d_c * (1.0 - jnp.square(c))
+    d_h_pre_n = d_pre_s
+
+    # s-recurrence adjoint (external g_s + internal path through c)
+    lam_s = reverse_scan(a_s, g_s + d_pre_s)
+    d_a_s = lam_s * s_prev
+    d_b_s = lam_s
+    ds0 = lam_s[:, 0] * a_s[:, 0]
+
+    (d_gates,) = elem_vjp((d_a_s, d_b_s, d_a_h, d_bhc, d_h_pre_n))
+    return d_gates.astype(gates.dtype), dh0.astype(h0.dtype), ds0.astype(s0.dtype), None
+
+
+lucy_fused_cell.defvjp(_fused_fwd, _fused_bwd)
+
+

@@ -73,3 +73,69 @@ def test_pallas_scan_bf16_inputs(rng):
     ).astype(np.float32)
     want = np.asarray(linear_scan_seq(jnp.asarray(a), jnp.asarray(b), jnp.asarray(s0)))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_fused_cell_matches_unfused(rng):
+    from statecatcher_tpu.models.lucyrnn import lucy_cell_parallel
+
+    B, T, D = 2, 40, 128
+    gates = rng.standard_normal((B, T, 7, D)).astype(np.float32)
+    h0 = rng.standard_normal((B, D)).astype(np.float32)
+    s0 = rng.standard_normal((B, D)).astype(np.float32)
+
+    def fused(g, h, s):
+        return lucy_cell_parallel(g, h, s, impl="pallas-fused")
+
+    got = _run(fused, jnp.asarray(gates), jnp.asarray(h0), jnp.asarray(s0))
+    want = lucy_cell_parallel(jnp.asarray(gates), jnp.asarray(h0),
+                              jnp.asarray(s0), impl="assoc")
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_cell_masked_matches_unfused(rng):
+    from statecatcher_tpu.models.lucyrnn import lucy_cell_parallel
+
+    B, T, D = 2, 24, 128
+    gates = rng.standard_normal((B, T, 7, D)).astype(np.float32)
+    h0 = np.zeros((B, D), np.float32)
+    s0 = np.zeros((B, D), np.float32)
+    mask = np.ones((B, T), bool)
+    mask[1, 10:] = False
+
+    def fused(g, h, s):
+        return lucy_cell_parallel(g, h, s, impl="pallas-fused",
+                                  frame_mask=jnp.asarray(mask))
+
+    got = _run(fused, jnp.asarray(gates), jnp.asarray(h0), jnp.asarray(s0))
+    want = lucy_cell_parallel(jnp.asarray(gates), jnp.asarray(h0),
+                              jnp.asarray(s0), impl="assoc",
+                              frame_mask=jnp.asarray(mask))
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_cell_grad_matches_unfused(rng):
+    from statecatcher_tpu.models.lucyrnn import lucy_cell_parallel
+
+    B, T, D = 2, 24, 128
+    gates = rng.standard_normal((B, T, 7, D)).astype(np.float32)
+    h0 = rng.standard_normal((B, D)).astype(np.float32)
+    s0 = rng.standard_normal((B, D)).astype(np.float32)
+    w = rng.standard_normal((B, T, D)).astype(np.float32)
+
+    def loss(impl):
+        def f(g, h, s):
+            h_all, h_T, s_T = lucy_cell_parallel(g, h, s, impl=impl)
+            return (jnp.sum(h_all * w) + jnp.sum(h_T) + 0.5 * jnp.sum(s_T))
+        return f
+
+    gp = _run(jax.grad(loss("pallas-fused"), argnums=(0, 1, 2)),
+              jnp.asarray(gates), jnp.asarray(h0), jnp.asarray(s0))
+    ga = jax.grad(loss("assoc"), argnums=(0, 1, 2))(
+        jnp.asarray(gates), jnp.asarray(h0), jnp.asarray(s0))
+    for a, b in zip(gp, ga):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
