@@ -41,11 +41,13 @@ def main():
     kernel = os.environ.get("BENCH_KERNEL", "")  # "" = config default
     ctc_impl = os.environ.get("BENCH_CTC", "optax")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    encoder = os.environ.get("BENCH_ENCODER", "lucyrnn")  # lucyrnn|lstm|xlstm
 
     over = [
-        "--model.encoder", "lucyrnn",
+        "--model.encoder", encoder,
         "--model.hidden_size", "512",
         "--model.num_layers", "4",
+        "--model.xlstm.embedding_dim", "512",
         "--model.vocab_size", "1024",
         "--model.dtype", dtype,
         "--data.batch_size", str(B),

@@ -225,14 +225,14 @@ def _fused_cell_kernel(C, BD, masked: bool):
             hc_ref[:] = h0_ref[0].astype(jnp.float32)
             sc_ref[:] = s0_ref[0].astype(jnp.float32)
 
-        g = gates_ref[0].astype(jnp.float32)           # (C, 7, BD)
-        r = g[:, 0, :]
-        z = g[:, 1, :]
-        k = g[:, 2, :]
-        v = g[:, 3, :]
-        h_pre = g[:, 4, :]
-        decay = g[:, 5, :]
-        alpha = g[:, 6, :]
+        g = gates_ref[0]                               # (7, C, BD)
+        r = g[0].astype(jnp.float32)
+        z = g[1].astype(jnp.float32)
+        k = g[2].astype(jnp.float32)
+        v = g[3].astype(jnp.float32)
+        h_pre = g[4].astype(jnp.float32)
+        decay = g[5].astype(jnp.float32)
+        alpha = g[6].astype(jnp.float32)
         rms_rz = jnp.sqrt((r * r + z * z) / 2 + _EPS)
         rms_kv2 = (k * k + v * v) / 2 + _EPS
         rms_kv = jnp.sqrt(rms_kv2)
@@ -286,16 +286,20 @@ def _fused_cell_fwd_impl(gates, h0, s0, frame_mask, chunk: int = 256):
     grid = (B, Dp // BD, Tp // C)
     h0_t = jnp.broadcast_to(h0[:, None, :], (B, 8, Dp))
     s0_t = jnp.broadcast_to(s0[:, None, :], (B, 8, Dp))
+    # (B, 7, T, D): each gate's time-chunk is a contiguous aligned (C, BD)
+    # tile inside the kernel (a (C, 7, BD) layout would stride gate slices
+    # across sublanes and force relayouts)
+    gates_b7td = jnp.transpose(gates, (0, 2, 1, 3))
 
     in_specs = [
         pl.BlockSpec((1, 8, BD), lambda ib, id_, it: (ib, 0, id_),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 8, BD), lambda ib, id_, it: (ib, 0, id_),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, 7, BD), lambda ib, id_, it: (ib, it, 0, id_),
+        pl.BlockSpec((1, 7, C, BD), lambda ib, id_, it: (ib, 0, it, id_),
                      memory_space=pltpu.VMEM),
     ]
-    args = [h0_t, s0_t, gates]
+    args = [h0_t, s0_t, gates_b7td]
     if masked:
         mask_f = jnp.broadcast_to(
             frame_mask[:, :, None].astype(gates.dtype), (B, Tp, Dp)

@@ -121,3 +121,35 @@ def test_train_e2e_stack_order(tmp_path, rng):
     ])
     summary = train(cfg)
     assert summary["global_step"] == 4
+
+
+def test_train_e2e_xlstm(tmp_path, rng):
+    """xLSTM encoder end-to-end (config 3 slice)."""
+    from statecatcher_tpu.train.loop import train
+
+    data = _fixture_dir(tmp_path / "data", rng)
+    cfg = _tiny_cfg(data, str(tmp_path / "models"), encoder="xlstm")
+    cfg = cfg.apply_overrides([
+        "--model.xlstm.embedding_dim", "32",
+        "--model.xlstm.num_blocks", "2",
+        "--model.xlstm.chunk_size", "16",
+        "--train.steps", "4",
+    ])
+    summary = train(cfg)
+    assert summary["global_step"] == 4
+
+
+def test_train_e2e_padding_strategy(tmp_path, rng):
+    """batch_segment_strategy=padding: K = max segment count, short items
+    contribute silence+empty text (reference train.py:455-456,186-201)."""
+    from statecatcher_tpu.train.loop import train
+
+    data = _fixture_dir(tmp_path / "data", rng, seconds=6)
+    # one much shorter recording → unequal segment counts
+    cfg = _tiny_cfg(data, str(tmp_path / "models"))
+    cfg = cfg.apply_overrides([
+        "--data.batch_segment_strategy", "padding",
+        "--train.steps", "5",
+    ])
+    summary = train(cfg)
+    assert summary["global_step"] == 5
