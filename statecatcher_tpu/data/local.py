@@ -34,11 +34,17 @@ class LocalSpeechDataset:
         batch_segment_strategy: str = "clipping",
         batch_samplerate: int = 16000,
         verbose: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         self.root = root
         self.batch_segment_strategy = batch_segment_strategy
         self.batch_samplerate = batch_samplerate
         self.verbose = verbose
+        # Multi-host: each host owns files where (i % shard_count) ==
+        # shard_index — the local-data analogue of per-host HTTP sessions.
+        self.shard_index = shard_index
+        self.shard_count = max(1, shard_count)
         self.session_id: Optional[str] = None
         self._pairs: list[tuple[str, str]] = []
         self._order = "asc"
@@ -58,6 +64,12 @@ class LocalSpeechDataset:
                     pairs.append((os.path.join(self.root, name), vtt))
         if not pairs:
             raise RuntimeError(f"No wav+vtt pairs found under {self.root}")
+        if self.shard_count > 1:
+            pairs = [p for i, p in enumerate(pairs) if i % self.shard_count == self.shard_index]
+        if not pairs:
+            raise RuntimeError(
+                f"Shard {self.shard_index}/{self.shard_count} owns no files under {self.root}"
+            )
         return pairs
 
     # ------------------------------------------------------------------ #

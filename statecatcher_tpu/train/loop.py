@@ -63,6 +63,8 @@ def build_dataset(cfg: Config):
             cfg.data.local_dir,
             batch_segment_strategy=cfg.data.batch_segment_strategy,
             batch_samplerate=cfg.data.batch_samplerate,
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
         )
     from statecatcher_tpu.data.client import SpeechDataset
 

@@ -129,3 +129,16 @@ def test_pipeline_drops_bad_items(tmp_path, rng):
     b = pipe.next_batch()
     assert len(b.audio_items) == 2  # bad item dropped, parity w/ reference
     pipe.stop()
+
+
+def test_local_dataset_sharding(tmp_path, rng):
+    """Multi-host: shards partition the file list disjointly."""
+    root = _write_local_fixtures(tmp_path, rng, n=5)
+    seen = []
+    for idx in range(2):
+        ds = LocalSpeechDataset(root, shard_index=idx, shard_count=2)
+        ds.start_session(batch_size=10)
+        _, _, batch = ds.fetch_next_batch()
+        seen.append({item["local_audio_path"] for item in batch})
+    assert seen[0] & seen[1] == set()
+    assert len(seen[0] | seen[1]) == 5
