@@ -58,6 +58,14 @@ class ASRModel(nn.Module):
                 input_dim=enc_in, vocab_size=cfg.vocab_size, cfg=cfg.xlstm,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
             )
+        if cfg.encoder == "rwkv":
+            from statecatcher_tpu.models.rwkv import RWKVEncoder
+
+            return RWKVEncoder(
+                input_dim=enc_in, vocab_size=cfg.vocab_size,
+                dim=cfg.hidden_size, num_layers=cfg.num_layers,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
+            )
         raise ValueError(f"Unknown encoder type: {self.cfg.encoder!r}")
 
     def init_state(self, batch_size: int):
@@ -116,6 +124,10 @@ def init_carry(cfg: ModelConfig, batch_size: int, dtype=jnp.float32):
         from statecatcher_tpu.models.xlstm import xlstm_init_carry
 
         return xlstm_init_carry(cfg.xlstm, B, dtype)
+    if cfg.encoder == "rwkv":
+        from statecatcher_tpu.models.rwkv import rwkv_init_carry
+
+        return rwkv_init_carry(cfg.hidden_size, cfg.num_layers, B, dtype)
     raise ValueError(f"Unknown encoder type: {cfg.encoder!r}")
 
 

@@ -153,3 +153,14 @@ def test_train_e2e_padding_strategy(tmp_path, rng):
     ])
     summary = train(cfg)
     assert summary["global_step"] == 5
+
+
+def test_train_e2e_rwkv(tmp_path, rng):
+    """RWKV encoder end-to-end (beyond the reference's planned-only status)."""
+    from statecatcher_tpu.train.loop import train
+
+    data = _fixture_dir(tmp_path / "data", rng)
+    cfg = _tiny_cfg(data, str(tmp_path / "models"), encoder="rwkv")
+    cfg = cfg.apply_overrides(["--train.steps", "4"])
+    summary = train(cfg)
+    assert summary["global_step"] == 4
