@@ -27,7 +27,8 @@ def main():
     import numpy as np
 
     from statecatcher_tpu.config import Config
-    from statecatcher_tpu.models.asr import build_model, init_carry
+    from statecatcher_tpu.models.asr import init_carry
+    from statecatcher_tpu.models.speech import build_speech_model
     from statecatcher_tpu.train.step import init_train_state, make_segment_scan_step
 
     # Flagship config: canonical hyperparameters (SURVEY.md Appendix B):
@@ -41,9 +42,11 @@ def main():
     kernel = os.environ.get("BENCH_KERNEL", "")  # "" = config default
     ctc_impl = os.environ.get("BENCH_CTC", "optax")
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    encoder = os.environ.get("BENCH_ENCODER", "lucyrnn")  # lucyrnn|lstm|xlstm
+    encoder = os.environ.get("BENCH_ENCODER", "lucyrnn")  # lucyrnn|lstm|xlstm|rwkv
+    mode = os.environ.get("BENCH_MODE", "ctc")            # ctc|rnnt
 
     over = [
+        "--train.mode", mode,
         "--model.encoder", encoder,
         "--model.hidden_size", "512",
         "--model.num_layers", "4",
@@ -60,7 +63,7 @@ def main():
     sr = cfg.data.batch_samplerate
     S = int(sr * seconds)
     fdim = 80
-    model = build_model(cfg.model, fdim)
+    model = build_speech_model(cfg.model, fdim, mode)
 
     rng = jax.random.PRNGKey(0)
     state = init_train_state(model, cfg, rng, fdim, 64)
@@ -110,7 +113,7 @@ def main():
     vs = (audio_sec_per_sec / baseline) if baseline else 1.0
 
     print(json.dumps({
-        "metric": "train_audio_seconds_per_second_per_chip_lucyrnn_ctc_stateful",
+        "metric": f"train_audio_seconds_per_second_per_chip_{encoder}_{mode}_stateful",
         "value": round(audio_sec_per_sec, 2),
         "unit": "audio_sec/s/chip",
         "vs_baseline": round(vs, 3),

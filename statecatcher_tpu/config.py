@@ -143,6 +143,12 @@ class TrainConfig:
     # dispatch like the reference host loop.
     segments_per_dispatch: int = 8
     seed: int = 0
+    # On-the-fly bad-segment filtering (the reference lists "hallucination
+    # detection & filtering" as planned-only, reference README.md:30):
+    # skip the optimizer update AND freeze the carry for a segment whose loss
+    # is non-finite or above this threshold (None = only non-finite).
+    skip_loss_above: Optional[float] = None
+    skip_nonfinite_updates: bool = True
     debug: bool = False               # enables debug_nans + state-detach checks
     profile_dir: Optional[str] = None # jax.profiler trace output
     resume_from: Optional[str] = None # checkpoint dir to resume (new capability;

@@ -248,7 +248,24 @@ def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
             loss_fn, has_aux=True
         )(state.params)
         grad_norm = optax.global_norm(grads)
-        state = state.apply_gradients(grads=grads)
+
+        # Bad-segment filtering: a non-finite (or above-threshold) loss skips
+        # the update and freezes the carry, so one poisoned segment cannot
+        # corrupt parameters or downstream state.
+        ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        if cfg.train.skip_loss_above is not None:
+            ok = ok & (loss < cfg.train.skip_loss_above)
+        if not cfg.train.skip_nonfinite_updates and cfg.train.skip_loss_above is None:
+            ok = jnp.bool_(True)
+
+        updated = state.apply_gradients(grads=grads)
+        state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), updated, state
+        )
+        new_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_state, carry_in
+        )
+
         preds, keep = ctc_greedy_decode(
             jax.lax.stop_gradient(logits), in_lens, blank_id
         )
