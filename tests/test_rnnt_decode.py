@@ -87,3 +87,78 @@ def test_pred_table_from_module(rng):
         np.asarray(table)[np.asarray(prefix)], np.asarray(pred_p),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_beam1_equals_greedy(rng):
+    from statecatcher_tpu.rnnt_decode import (
+        rnnt_beam_search,
+        rnnt_beam_to_lists,
+    )
+
+    enc, table, W, bias, in_lens = _rand(rng, B=3, T=10)
+    greedy = rnnt_state_to_lists(
+        rnnt_greedy_decode(jnp.asarray(enc), jnp.asarray(table), jnp.asarray(W),
+                           jnp.asarray(bias), jnp.asarray(in_lens),
+                           blank_id=0, max_symbols=3, max_out=64)
+    )
+    st = rnnt_beam_search(
+        jnp.asarray(enc), jnp.asarray(table), jnp.asarray(W), jnp.asarray(bias),
+        jnp.asarray(in_lens), blank_id=0, beam=1, topk=1, max_symbols=3,
+        max_out=64,
+    )
+    beam = rnnt_beam_to_lists(st)
+    for b in range(enc.shape[0]):
+        assert beam[b][0][1] == greedy[b]
+
+
+def test_beam_improves_or_matches_greedy_score(rng):
+    from statecatcher_tpu.rnnt_decode import (
+        rnnt_beam_search,
+        rnnt_beam_to_lists,
+    )
+
+    for trial in range(3):
+        enc, table, W, bias, in_lens = _rand(rng, B=2, T=8, V=5)
+        st1 = rnnt_beam_search(
+            jnp.asarray(enc), jnp.asarray(table), jnp.asarray(W), jnp.asarray(bias),
+            jnp.asarray(in_lens), blank_id=0, beam=1, topk=1, max_symbols=2,
+            max_out=32,
+        )
+        st8 = rnnt_beam_search(
+            jnp.asarray(enc), jnp.asarray(table), jnp.asarray(W), jnp.asarray(bias),
+            jnp.asarray(in_lens), blank_id=0, beam=8, topk=5, max_symbols=2,
+            max_out=32,
+        )
+        s1 = rnnt_beam_to_lists(st1)
+        s8 = rnnt_beam_to_lists(st8)
+        for b in range(2):
+            assert s8[b][0][0] >= s1[b][0][0] - 1e-5
+
+
+def test_rnnt_beam_streaming_carry(rng):
+    from statecatcher_tpu.rnnt_decode import (
+        rnnt_beam_search,
+        rnnt_beam_to_lists,
+    )
+
+    enc, table, W, bias, _ = _rand(rng, B=2, T=10)
+    full = rnnt_beam_search(
+        jnp.asarray(enc), jnp.asarray(table), jnp.asarray(W), jnp.asarray(bias),
+        jnp.asarray([10, 10]), blank_id=0, beam=4, topk=3, max_symbols=2,
+        max_out=32,
+    )
+    st1 = rnnt_beam_search(
+        jnp.asarray(enc[:, :5]), jnp.asarray(table), jnp.asarray(W),
+        jnp.asarray(bias), jnp.asarray([5, 5]), blank_id=0, beam=4, topk=3,
+        max_symbols=2, max_out=32,
+    )
+    st2 = rnnt_beam_search(
+        jnp.asarray(enc[:, 5:]), jnp.asarray(table), jnp.asarray(W),
+        jnp.asarray(bias), jnp.asarray([5, 5]), blank_id=0, beam=4, topk=3,
+        max_symbols=2, init_state=st1,
+    )
+    a = rnnt_beam_to_lists(full)
+    b = rnnt_beam_to_lists(st2)
+    for i in range(2):
+        assert a[i][0][1] == b[i][0][1]
+        np.testing.assert_allclose(a[i][0][0], b[i][0][0], rtol=1e-4)
