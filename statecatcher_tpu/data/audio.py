@@ -10,7 +10,6 @@ aac podcasts) go through the same subprocess pipeline as the reference.
 
 from __future__ import annotations
 
-import io
 import shutil
 import struct
 import subprocess

@@ -13,9 +13,7 @@ import os
 import random
 from typing import Optional
 
-import numpy as np
-
-from statecatcher_tpu.data.audio import decode_audio, read_wav_bytes, resample_linear, to_mono
+from statecatcher_tpu.data.audio import decode_audio, read_wav_bytes, to_mono
 from statecatcher_tpu.data.chunking import preprocess_recording
 
 

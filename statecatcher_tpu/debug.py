@@ -24,7 +24,6 @@ import contextlib
 import logging
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger("statecatcher.debug")

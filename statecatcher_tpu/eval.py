@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import sys
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -145,8 +144,6 @@ def main(argv=None):
     if ckpt_dir is None:
         print("--ckpt <run_dir> is required", file=sys.stderr)
         return 1
-
-    import os
 
     from statecatcher_tpu.train.checkpoint import CheckpointManager
     from statecatcher_tpu.train.loop import build_tokenizer

@@ -15,7 +15,7 @@ All encoders share the stateful contract
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

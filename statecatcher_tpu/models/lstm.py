@@ -17,7 +17,7 @@ order i, f, g, o.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

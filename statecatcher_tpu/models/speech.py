@@ -7,7 +7,7 @@ of a single flax module so the train state is one params pytree.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

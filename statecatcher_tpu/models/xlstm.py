@@ -29,7 +29,7 @@ Math (stabilized, chunk j with L steps; per head):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -26,7 +26,6 @@ reduction="mean").
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

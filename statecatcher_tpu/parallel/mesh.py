@@ -18,7 +18,7 @@ The reference has no parallelism beyond a host-side worker pool (SURVEY.md
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

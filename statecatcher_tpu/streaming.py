@@ -13,7 +13,6 @@ buffered to ``chunk_frames`` frames) — compile once, stream forever.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

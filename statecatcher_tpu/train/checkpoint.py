@@ -13,12 +13,10 @@ reference train.py:62-66).
 
 from __future__ import annotations
 
-import json
 import os
 import time
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from statecatcher_tpu.config import Config

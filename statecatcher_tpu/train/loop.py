@@ -37,7 +37,7 @@ from statecatcher_tpu.metrics import StageTimer, ThroughputMeter, wer
 from statecatcher_tpu.models.speech import build_speech_model
 from statecatcher_tpu.tokenizer import CharTokenizer, load_tokenizer
 from statecatcher_tpu.train.checkpoint import CheckpointManager, setup_run_dir
-from statecatcher_tpu.train.step import init_train_state, make_train_step
+from statecatcher_tpu.train.step import init_train_state
 
 logger = logging.getLogger("statecatcher.train")
 

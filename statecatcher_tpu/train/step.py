@@ -20,16 +20,14 @@ Padded-row handling: batches are padded to a fixed shape for jit; rows with
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax.training import train_state
 
-from statecatcher_tpu.config import Config, FrontendConfig, OptimConfig
+from statecatcher_tpu.config import Config, OptimConfig
 from statecatcher_tpu.decode import ctc_greedy_decode
 from statecatcher_tpu.frontend import compute_features, compute_frame_mask, num_frames
 from statecatcher_tpu.ops.ctc import ctc_loss_per_example
@@ -104,20 +102,19 @@ def make_train_step(
     if mesh_plan is None:
         return jax.jit(step, donate_argnums=donate)
 
-    from jax.sharding import NamedSharding
-
     batch_sh = mesh_plan.batch_sharding()
     repl_sh = mesh_plan.replicated_sharding()
-    state_sh = None  # inferred: params replicated
+    # state sharding unspecified (None): replicated or tensor-parallel param
+    # layouts both pass through unchanged (see make_segment_scan_step).
     return jax.jit(
         step,
         donate_argnums=donate,
         in_shardings=(
-            repl_sh,            # train state (params/opt) replicated over data
+            None,               # train state (params/opt): keep arg layout
             batch_sh,           # carry: batch-major sharded
             batch_sh, batch_sh, batch_sh, batch_sh, batch_sh,
         ),
-        out_shardings=(repl_sh, batch_sh, StepOutput(
+        out_shardings=(None, batch_sh, StepOutput(
             loss=repl_sh, grad_norm=repl_sh,
             preds=batch_sh, keep=batch_sh, in_lens=batch_sh,
         )),
