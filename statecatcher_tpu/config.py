@@ -131,6 +131,9 @@ class TrainConfig:
     mode: str = "ctc"             # "ctc" | "rnnt"
     ctc_impl: str = "optax"       # "optax" | "lattice" | "pallas" (A/B numerics)
     compact_rnnt: bool = False
+    # Time-chunk for the fused transducer loss: the (B, chunk, U+1, V) joint
+    # is the only transient; smaller = less VMEM/HBM pressure, more scan steps.
+    rnnt_time_chunk: int = 16
     epochs: int = 10
     steps: Optional[int] = None
     optim: OptimConfig = field(default_factory=OptimConfig)

@@ -231,6 +231,7 @@ def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
                 loss = rnnt_loss_fused(
                     enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
                     blank_id=blank_id, row_valid=row_valid,
+                    time_chunk=cfg.train.rnnt_time_chunk,
                 )
             else:
                 logits, new_state = model.apply(params, feats, carry_in, frame_mask)
