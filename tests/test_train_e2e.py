@@ -164,3 +164,44 @@ def test_train_e2e_rwkv(tmp_path, rng):
     cfg = cfg.apply_overrides(["--train.steps", "4"])
     summary = train(cfg)
     assert summary["global_step"] == 4
+
+
+def test_train_e2e_http_source(tmp_path, rng):
+    """Full train() over the HTTP data plane against the fake server."""
+    import yaml
+
+    from statecatcher_tpu.data.audio import write_wav_bytes
+    from statecatcher_tpu.data.fake_server import FakeSpeechDataServer
+    from statecatcher_tpu.tokenizer import CharTokenizer
+    from statecatcher_tpu.train.loop import train
+
+    recs = []
+    for i in range(3):
+        sr = 8000
+        x = rng.uniform(-0.3, 0.3, size=3 * sr).astype(np.float32)
+        vtt = ("WEBVTT\n\n00:00:00.000 --> 00:00:01.500\nhello world\n\n"
+               "00:00:01.500 --> 00:00:03.000\nstreaming over http\n")
+        recs.append((write_wav_bytes(x, sr), vtt))
+
+    tok = CharTokenizer.train(["hello world streaming over http"])
+    tok_path = str(tmp_path / "tok.json")
+    tok.save(tok_path)
+
+    with FakeSpeechDataServer(recs) as srv:
+        cfg_yaml = tmp_path / "config.yaml"
+        cfg_yaml.write_text(yaml.safe_dump(srv.client_config()))
+        cfg = Config().apply_overrides([
+            "--model.encoder", "lstm", "--model.hidden_size", "16",
+            "--model.num_layers", "1",
+            "--data.source", "http",
+            "--data.config_path", str(cfg_yaml),
+            "--data.batch_samplerate", "8000", "--data.batch_size", "2",
+            "--data.target_duration", "1.5", "--data.num_workers", "2",
+            "--train.model_dir", str(tmp_path / "models"),
+            "--train.sp_model", tok_path,
+            "--train.steps", "4", "--train.log_every_n", "3",
+        ])
+        summary = train(cfg)
+        assert summary["global_step"] == 4
+        assert srv.state.marked_done  # batches acknowledged to the server
+        assert any("Completed batch" in m for _, m in srv.state.logs)
