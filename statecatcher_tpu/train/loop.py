@@ -212,6 +212,31 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
     prev_epoch = None
     n_batches = 0
     stop = False
+    pending = None  # deferred metrics of the in-flight dispatch
+
+    def _resolve_metrics(p):
+        outs, group, last_texts, rows, audio_secs, step_at = p
+        loss_vals = np.asarray(outs.loss)[:group]
+        losses.extend(float(x) for x in loss_vals)
+        meter.step(audio_secs)
+        if len(losses) >= cfg.train.log_every_n:
+            with timer.time("metrics"):
+                last = group - 1
+                hyp_lists = keep_to_token_lists(
+                    np.asarray(outs.preds[last]), np.asarray(outs.keep[last])
+                )
+                for i in range(rows):
+                    window_hyps.append(tokenizer.decode_ids(hyp_lists[i]))
+                    window_refs.append(last_texts[i])
+                avg_loss = sum(losses) / len(losses)
+                ter = wer(window_refs, window_hyps)
+                sinks.track(avg_loss, f"avg_loss_{cfg.train.log_every_n}", step_at)
+                sinks.track(ter, f"train_ter_{cfg.train.log_every_n}", step_at)
+                sinks.track(float(outs.grad_norm[last]), "grad_norm", step_at)
+                sinks.track(meter.audio_seconds_per_second, "audio_sec_per_sec", step_at)
+                losses.clear()
+                window_refs.clear()
+                window_hyps.clear()
 
     def save(epoch, step=None):
         ckpt.save(
@@ -296,6 +321,8 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
                     mask_k = np.stack(g_mask)
 
                 with timer.time("train_step"):
+                    # async dispatch: nothing here blocks — the device starts
+                    # while the host prepares the next group
                     state, carry, outs = train_step(
                         state, carry,
                         jnp.asarray(audio_k), jnp.asarray(mask_k),
@@ -304,28 +331,14 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
                     )
 
                 global_step += group
-                loss_vals = np.asarray(outs.loss)[:group]
-                losses.extend(float(x) for x in loss_vals)
-                meter.step(float(mask_k[:group].sum()) / sr)
-
-                if len(losses) >= cfg.train.log_every_n:
-                    with timer.time("metrics"):
-                        last = group - 1
-                        hyp_lists = keep_to_token_lists(
-                            np.asarray(outs.preds[last]), np.asarray(outs.keep[last])
-                        )
-                        for i in range(n_rows):
-                            window_hyps.append(tokenizer.decode_ids(hyp_lists[i]))
-                            window_refs.append(g_texts[last][i])
-                        avg_loss = sum(losses) / len(losses)
-                        ter = wer(window_refs, window_hyps)
-                        sinks.track(avg_loss, f"avg_loss_{cfg.train.log_every_n}", global_step)
-                        sinks.track(ter, f"train_ter_{cfg.train.log_every_n}", global_step)
-                        sinks.track(float(outs.grad_norm[last]), "grad_norm", global_step)
-                        sinks.track(meter.audio_seconds_per_second, "audio_sec_per_sec", global_step)
-                        losses.clear()
-                        window_refs.clear()
-                        window_hyps.clear()
+                # Resolve the PREVIOUS dispatch's metrics now (one dispatch of
+                # lag keeps the device busy during host-side prep/decoding).
+                if pending is not None:
+                    _resolve_metrics(pending)
+                pending = (
+                    outs, group, g_texts[group - 1], n_rows,
+                    float(mask_k[:group].sum()) / sr, global_step,
+                )
 
                 if (
                     cfg.train.save_every_n_updates
@@ -343,6 +356,9 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
             if max_batches and n_batches >= max_batches:
                 break
     finally:
+        if pending is not None:
+            _resolve_metrics(pending)
+            pending = None
         pipe.stop()
         dataset.end_session()
         save(prev_epoch if prev_epoch is not None else 0)
