@@ -145,11 +145,19 @@ def main(argv=None):
         print("--ckpt <run_dir> is required", file=sys.stderr)
         return 1
 
+    import os
+
     from statecatcher_tpu.train.checkpoint import CheckpointManager
     from statecatcher_tpu.train.loop import build_tokenizer
     from statecatcher_tpu.train.step import init_train_state
 
-    tokenizer = build_tokenizer(cfg)
+    run_tok = os.path.join(ckpt_dir, "tokenizer.json")
+    if cfg.train.sp_model is None and os.path.exists(run_tok):
+        from statecatcher_tpu.tokenizer import load_tokenizer
+
+        tokenizer = load_tokenizer(run_tok)
+    else:
+        tokenizer = build_tokenizer(cfg)
     import dataclasses as dc
 
     model_cfg = dc.replace(cfg.model, vocab_size=tokenizer.vocab_size)

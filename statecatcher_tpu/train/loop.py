@@ -128,6 +128,10 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
     vocab_size = tokenizer.vocab_size
     blank_id = tokenizer.blank_id
     logger.info("Vocab size: %d (blank_id=%d)", vocab_size, blank_id)
+    if hasattr(tokenizer, "save"):
+        # snapshot next to the checkpoints so eval/inference reconstructs the
+        # exact token mapping (the reference has no such artifact)
+        tokenizer.save(os.path.join(run_dir, "tokenizer.json"))
 
     import dataclasses
 
