@@ -58,9 +58,9 @@ def evaluate(
 
     from statecatcher_tpu.train.loop import build_dataset
 
+    mode = cfg.train.mode
     model_cfg = dc.replace(cfg.model, vocab_size=tokenizer.vocab_size)
-    model = build_speech_model(model_cfg, 80 if cfg.frontend.kind else 80,
-                               "ctc")
+    model = build_speech_model(model_cfg, 80, mode)
     blank_id = tokenizer.blank_id
     if dataset is None:
         dataset = build_dataset(cfg)
@@ -75,9 +75,23 @@ def evaluate(
     def forward(params, audio, sample_mask, carry):
         feats = compute_features(audio, cfg.frontend)
         fm, in_lens = compute_frame_mask(sample_mask, feats.shape[1])
-        logits, new_carry = model.apply(params, feats, carry, fm)
-        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return lp, in_lens, new_carry
+        logits, new_carry = model.apply(
+            params, feats, carry, fm, method="encode"
+        ) if mode == "rnnt" else model.apply(params, feats, carry, fm)
+        return logits.astype(jnp.float32), in_lens, new_carry
+
+    rnnt_ctx = None
+    if mode == "rnnt" and decoder in ("rnnt-greedy", "rnnt-beam"):
+        from statecatcher_tpu.rnnt_decode import pred_table_from_params
+
+        jp = params["params"]["joiner"]
+        rnnt_ctx = {
+            "pred_table": pred_table_from_params(params),
+            "jk": jp["join_kernel"].astype(jnp.float32),
+            "jb": jp["join_bias"].astype(jnp.float32),
+            "enc_kernel": jp["enc_proj"]["kernel"].astype(jnp.float32),
+            "enc_bias": jp["enc_proj"]["bias"].astype(jnp.float32),
+        }
 
     pipe = BatchPipeline(dataset, target_samples, num_workers=cfg.data.num_workers)
     refs: list[str] = []
@@ -93,11 +107,37 @@ def evaluate(
             per_item_ref = [[] for _ in range(n_rows)]
             for seg_idx in range(K):
                 audio, mask, texts = stack_segment_slice(batch, seg_idx, target_samples)
-                lp, in_lens, carry = forward(
+                logits, in_lens, carry = forward(
                     params, jnp.asarray(audio), jnp.asarray(mask), carry
                 )
                 n_segments += 1
-                if decoder == "beam":
+                if decoder in ("rnnt-greedy", "rnnt-beam") and rnnt_ctx is not None:
+                    from statecatcher_tpu.rnnt_decode import (
+                        rnnt_beam_search,
+                        rnnt_beam_to_lists,
+                        rnnt_greedy_decode,
+                        rnnt_state_to_lists,
+                    )
+
+                    enc_p = logits @ rnnt_ctx["enc_kernel"] + rnnt_ctx["enc_bias"]
+                    if decoder == "rnnt-beam":
+                        st = rnnt_beam_search(
+                            enc_p, rnnt_ctx["pred_table"], rnnt_ctx["jk"],
+                            rnnt_ctx["jb"], in_lens, blank_id=blank_id,
+                            beam=beam, topk=min(beam, 8),
+                        )
+                        batch_hyps = [
+                            h[0][1] if h else []
+                            for h in rnnt_beam_to_lists(st)
+                        ]
+                    else:
+                        st = rnnt_greedy_decode(
+                            enc_p, rnnt_ctx["pred_table"], rnnt_ctx["jk"],
+                            rnnt_ctx["jb"], in_lens, blank_id=blank_id,
+                        )
+                        batch_hyps = rnnt_state_to_lists(st)
+                elif decoder == "beam":
+                    lp = jax.nn.log_softmax(logits, axis=-1)
                     state, totals = ctc_beam_search(
                         lp, in_lens, beam=beam, blank_id=blank_id, max_len=512
                     )
@@ -105,7 +145,7 @@ def evaluate(
                         h[0][1] if h else [] for h in beam_hypotheses(state, totals)
                     ]
                 else:
-                    preds, keep = ctc_greedy_decode(lp, in_lens, blank_id)
+                    preds, keep = ctc_greedy_decode(logits, in_lens, blank_id)
                     batch_hyps = keep_to_token_lists(np.asarray(preds), np.asarray(keep))
                 for i in range(n_rows):
                     if seg_idx < len(batch.text_items[i]):
@@ -161,7 +201,7 @@ def main(argv=None):
     import dataclasses as dc
 
     model_cfg = dc.replace(cfg.model, vocab_size=tokenizer.vocab_size)
-    model = build_speech_model(model_cfg, 80, "ctc")
+    model = build_speech_model(model_cfg, 80, cfg.train.mode)
     cfg2 = dc.replace(cfg, model=model_cfg)
     template = init_train_state(model, cfg2, jax.random.PRNGKey(0), 80, 16)
     mgr = CheckpointManager(ckpt_dir)

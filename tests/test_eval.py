@@ -48,3 +48,33 @@ def test_eval_harness_runs(tmp_path, rng):
         assert res.num_utterances == 2
         assert np.isfinite(res.wer) or res.wer == float("inf")
         assert len(res.refs) == len(res.hyps)
+
+
+def test_eval_rnnt_decoders(tmp_path, rng):
+    """RNN-T-mode eval with transducer greedy/beam decoding."""
+    from statecatcher_tpu.eval import evaluate
+    from statecatcher_tpu.models.speech import build_speech_model
+    from statecatcher_tpu.train.loop import build_tokenizer
+    from statecatcher_tpu.train.step import init_train_state
+    import dataclasses as dc
+
+    root = _fixtures(tmp_path / "d", rng)
+    cfg = Config().apply_overrides([
+        "--model.encoder", "lucyrnn", "--model.hidden_size", "16",
+        "--model.num_layers", "1",
+        "--model.rnnt_pred_emb_dim", "8", "--model.rnnt_joiner_dim", "8",
+        "--train.mode", "rnnt",
+        "--data.source", "local", "--data.local_dir", root,
+        "--data.batch_samplerate", "8000", "--data.batch_size", "2",
+        "--data.target_duration", "2.0", "--data.num_workers", "2",
+    ])
+    tok = build_tokenizer(cfg)
+    model_cfg = dc.replace(cfg.model, vocab_size=tok.vocab_size)
+    cfg = dc.replace(cfg, model=model_cfg)
+    model = build_speech_model(model_cfg, 80, "rnnt")
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), 80, 16)
+
+    for decoder in ("rnnt-greedy", "rnnt-beam"):
+        res = evaluate(cfg, state.params, tok, max_batches=1, decoder=decoder)
+        assert res.num_utterances == 2
+        assert len(res.refs) == len(res.hyps)
