@@ -35,16 +35,16 @@ def _local_scan_block(a, b, s0, axis_name: str):
 
     idx = lax.axis_index(axis_name)
     Pn = lax.axis_size(axis_name)
-    allA = lax.all_gather(A_tot, axis_name)         # (P, B, D) — tiny, ICI
-    allS = lax.all_gather(S_tot, axis_name)
 
-    def fold(j, s):
-        return jnp.where(j < idx, allA[j] * s + allS[j], s)
-
-    # s0 is replicated; the fold result varies per device (depends on idx) —
-    # mark the carry as axis-varying so the loop types line up.
-    s0_v = jax.lax.pvary(s0, (axis_name,)) if hasattr(jax.lax, "pvary") else s0
-    s_in = lax.fori_loop(0, Pn, fold, s0_v)         # exclusive prefix ∘ s0
+    # Ring token pass (neighbor ppermute over ICI, fully differentiable):
+    # device p's incoming carry is fixed at step p, computed from its left
+    # neighbor's incoming carry and that neighbor's total affine map.
+    perm = [(i, (i + 1) % Pn) for i in range(Pn)]
+    s_in = s0
+    for k in range(Pn - 1):
+        out_val = A_tot * s_in + S_tot
+        recv = lax.ppermute(out_val, axis_name, perm)
+        s_in = jnp.where(idx == k + 1, recv, s_in)
     return S_loc + A_cum * s_in[:, None, :]
 
 
@@ -66,5 +66,8 @@ def linear_scan_time_sharded(
         mesh=mesh,
         in_specs=(spec_t, spec_t, spec_r),
         out_specs=spec_t,
+        # the replicated s0's cotangent is axis-varying (summed at the
+        # boundary); disable the static replication checker to allow it
+        check_rep=False,
     )
     return fn(a, b, s0)

@@ -64,7 +64,9 @@ def test_time_sharded_grad(rng, mesh):
     def loss_ref(a_, b_, s0_):
         return jnp.sum(linear_scan_seq(a_, b_, s0_) * w)
 
-    gs = jax.grad(loss_sp, argnums=(0, 1, 2))(
+    # NB: must be jitted — eager-mode shard_map transpose trips a sharding
+    # assertion in jax 0.9 (production paths are always jitted).
+    gs = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(
         jax.device_put(jnp.asarray(a), sh_t),
         jax.device_put(jnp.asarray(b), sh_t),
         jax.device_put(jnp.asarray(s0), sh_r),
