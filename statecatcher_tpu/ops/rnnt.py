@@ -176,15 +176,24 @@ def rnnt_loss_fused(
 
     @jax.checkpoint
     def chunk_blank_emit(enc_chunk):
-        # enc_chunk: (B, C, J) → joint (B, C, U+1, V) — transient
+        # enc_chunk: (B, C, J) → joint logits (B, C, U+1, V) — transient.
+        # Only the blank and label columns are needed, so normalize those two
+        # gathers by logsumexp directly instead of materializing the full
+        # (B, C, U+1, V) log-softmax tensor (float32 accumulation as the
+        # reference requires of warp_rnnt inputs, model.py:92-94).
         joint = jnp.tanh(enc_chunk[:, :, None, :] + pred_proj[:, None, :, :])
-        logits = joint @ join_kernel.astype(joint.dtype) + join_bias.astype(joint.dtype)
-        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        blank_lp = lp[..., blank_id]
+        logits = (
+            joint @ join_kernel.astype(joint.dtype) + join_bias.astype(joint.dtype)
+        ).astype(jnp.float32)
+        log_z = jax.nn.logsumexp(logits, axis=-1)
+        blank_lp = logits[..., blank_id] - log_z
         lbl = jnp.broadcast_to(
             labels[:, None, :, None], (B, enc_chunk.shape[1], U, 1)
         )
-        emit_lp = jnp.take_along_axis(lp[:, :, :U, :], lbl, axis=3)[..., 0]
+        emit_lp = (
+            jnp.take_along_axis(logits[:, :, :U, :], lbl, axis=3)[..., 0]
+            - log_z[:, :, :U]
+        )
         return blank_lp, emit_lp
 
     chunks = enc_proj.reshape(B, n_chunks, time_chunk, J)
