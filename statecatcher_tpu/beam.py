@@ -61,7 +61,7 @@ def _segment_logsumexp_sorted(vals: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.
     return out
 
 
-def _merge_topk(hashes, p_b, p_nb, parent, token, beam):
+def _merge_topk(hashes, p_b, p_nb, beam):
     """Merge candidates with identical prefix hash, keep top ``beam``.
 
     All shapes (B, N).  Returns indices into the candidate axis (B, W) of
@@ -140,8 +140,7 @@ def beam_step(state: BeamState, lp: jnp.ndarray, active: jnp.ndarray,
         [jnp.full((B, W), -1, jnp.int32), tok.reshape(B, W * K)], axis=1
     )
 
-    idx, pb_new, pnb_new = _merge_topk(cand_hash, cand_pb, cand_pnb, cand_parent,
-                                       cand_token, W)
+    idx, pb_new, pnb_new = _merge_topk(cand_hash, cand_pb, cand_pnb, W)
     parent = jnp.take_along_axis(cand_parent, idx, axis=1)
     token = jnp.take_along_axis(cand_token, idx, axis=1)
     hash_new = jnp.take_along_axis(cand_hash, idx, axis=1)
