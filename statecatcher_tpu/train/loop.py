@@ -288,7 +288,7 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
 
                 with timer.time("host_prep"):
                     g_audio, g_mask, g_texts = [], [], []
-                    g_tokens, g_lens = [], []
+                    g_tokens = []
                     for si in group_ids:
                         audio, mask, texts = stack_segment_slice(
                             batch, si, target_samples
