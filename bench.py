@@ -35,9 +35,9 @@ def main():
     # hidden 512 × 4 layers, vocab 1024, 16 s segments @ 16 kHz, MFCC-80.
     # The measured unit is the production dispatch: a K-segment on-device
     # scan with carry threaded and one optimizer update per segment.
-    B = int(os.environ.get("BENCH_BATCH", "64"))
+    B = int(os.environ.get("BENCH_BATCH", "32"))
     K = int(os.environ.get("BENCH_SEGMENTS", "8"))
-    n_disp = int(os.environ.get("BENCH_DISPATCHES", "3"))
+    n_disp = int(os.environ.get("BENCH_DISPATCHES", "2"))
     seconds = float(os.environ.get("BENCH_SECONDS", "16.0"))
     kernel = os.environ.get("BENCH_KERNEL", "")  # "" = config default
     ctc_impl = os.environ.get("BENCH_CTC", "optax")
