@@ -35,7 +35,7 @@ class StreamingRecognizer:
         cfg: Config,
         tokenizer=None,
         chunk_frames: int = 32,
-        decoder: str = "greedy",       # "greedy" | "beam"
+        decoder: str = "greedy",       # "greedy" | "beam" | "rnnt"
         beam: int = 8,
         blank_id: int = 0,
     ):
@@ -57,13 +57,34 @@ class StreamingRecognizer:
         self._tokens: list[int] = []
         self._prev_argmax = -1
         self._beam_state: Optional[BeamState] = None
+        self._rnnt_state = None
 
-        @jax.jit
-        def _encode_chunk(params, audio, carry):
-            feats = compute_features(audio, fe)
-            logits, new_carry = model.apply(params, feats, carry, None)
-            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            return lp, new_carry
+        if decoder == "rnnt":
+            from statecatcher_tpu.rnnt_decode import pred_table_from_params
+
+            jp = params["params"]["joiner"]
+            self._rnnt_ctx = {
+                "pred_table": pred_table_from_params(params),
+                "jk": jp["join_kernel"].astype(jnp.float32),
+                "jb": jp["join_bias"].astype(jnp.float32),
+                "enc_kernel": jp["enc_proj"]["kernel"].astype(jnp.float32),
+                "enc_bias": jp["enc_proj"]["bias"].astype(jnp.float32),
+            }
+
+            @jax.jit
+            def _encode_chunk(params, audio, carry):
+                feats = compute_features(audio, fe)
+                logits, new_carry = model.apply(
+                    params, feats, carry, None, method="encode"
+                )
+                return logits.astype(jnp.float32), new_carry
+        else:
+            @jax.jit
+            def _encode_chunk(params, audio, carry):
+                feats = compute_features(audio, fe)
+                logits, new_carry = model.apply(params, feats, carry, None)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                return lp, new_carry
 
         self._encode_chunk = _encode_chunk
 
@@ -97,6 +118,22 @@ class StreamingRecognizer:
         T = lp.shape[1]
         if T == 0:
             return
+        if self.decoder == "rnnt":
+            from statecatcher_tpu.rnnt_decode import (
+                rnnt_decode_init,
+                rnnt_greedy_decode,
+            )
+
+            ctx = self._rnnt_ctx
+            enc_p = lp @ ctx["enc_kernel"] + ctx["enc_bias"]  # lp = raw enc logits
+            if self._rnnt_state is None:
+                self._rnnt_state = rnnt_decode_init(1, 512, self.blank_id)
+            self._rnnt_state = rnnt_greedy_decode(
+                enc_p, ctx["pred_table"], ctx["jk"], ctx["jb"],
+                jnp.asarray([T]), blank_id=self.blank_id,
+                init_state=self._rnnt_state,
+            )
+            return
         if self.decoder == "greedy":
             preds = np.asarray(jnp.argmax(lp[0], axis=-1))
             for t in range(T):
@@ -116,6 +153,12 @@ class StreamingRecognizer:
     # ------------------------------------------------------------------ #
     @property
     def tokens(self) -> list[int]:
+        if self.decoder == "rnnt":
+            if self._rnnt_state is None:
+                return []
+            from statecatcher_tpu.rnnt_decode import rnnt_state_to_lists
+
+            return rnnt_state_to_lists(self._rnnt_state)[0]
         if self.decoder == "greedy":
             return list(self._tokens)
         if self._beam_state is None:
@@ -135,3 +178,4 @@ class StreamingRecognizer:
         self._tokens = []
         self._prev_argmax = -1
         self._beam_state = None
+        self._rnnt_state = None

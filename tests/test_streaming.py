@@ -73,3 +73,55 @@ def test_streaming_beam_mode(setup):
     rec.accept_waveform(audio)
     toks = rec.tokens
     assert isinstance(toks, list)
+
+
+def test_streaming_rnnt_mode(rng):
+    """RNN-T streaming: chunked feed == one-shot rnnt greedy decode."""
+    import dataclasses as dc
+
+    from statecatcher_tpu.models.speech import build_speech_model
+    from statecatcher_tpu.rnnt_decode import (
+        pred_table_from_params,
+        rnnt_greedy_decode,
+        rnnt_state_to_lists,
+    )
+
+    cfg = Config().apply_overrides([
+        "--model.encoder", "lucyrnn", "--model.hidden_size", "16",
+        "--model.num_layers", "1", "--model.vocab_size", "8",
+        "--model.rnnt_pred_emb_dim", "8", "--model.rnnt_joiner_dim", "8",
+        "--train.mode", "rnnt",
+        "--data.batch_samplerate", "8000",
+    ])
+    model = build_speech_model(cfg.model, 80, "rnnt")
+    audio = rng.uniform(-0.5, 0.5, size=8000 * 2).astype(np.float32)
+    feats = compute_features(jnp.asarray(audio[None]), cfg.frontend)
+    prefix = jnp.zeros((1, 2), jnp.int32)
+    params = model.init(jax.random.PRNGKey(3), feats,
+                        init_carry(cfg.model, 1), None, prefix)
+    params = jax.tree_util.tree_map(
+        lambda v: jax.random.normal(jax.random.PRNGKey(1), v.shape) * 0.5
+        if v.ndim == 2 else v, params,
+    )
+
+    rec = StreamingRecognizer(model, params, cfg, chunk_frames=16, decoder="rnnt")
+    for i in range(0, len(audio), 1000):
+        rec.accept_waveform(audio[i:i + 1000])
+    got = rec.tokens
+
+    # offline: same frames through encode + one-shot greedy
+    hop, win = cfg.frontend.hop_length, cfg.frontend.n_fft
+    n_chunks = (len(audio) - (win - hop)) // rec.chunk_samples
+    n_frames = n_chunks * rec.chunk_frames
+    enc_out, _ = model.apply(params, feats[:, :n_frames],
+                             init_carry(cfg.model, 1), None, method="encode")
+    jp = params["params"]["joiner"]
+    enc_p = enc_out.astype(jnp.float32) @ jp["enc_proj"]["kernel"].astype(
+        jnp.float32) + jp["enc_proj"]["bias"].astype(jnp.float32)
+    st = rnnt_greedy_decode(
+        enc_p, pred_table_from_params(params),
+        jp["join_kernel"].astype(jnp.float32), jp["join_bias"].astype(jnp.float32),
+        jnp.asarray([n_frames]), blank_id=0,
+    )
+    want = rnnt_state_to_lists(st)[0]
+    assert got == want
