@@ -7,6 +7,17 @@ config system):
   * "pallas"   — fused TPU kernel with custom VJP
 """
 
-from statecatcher_tpu.ops.scan import linear_scan, linear_scan_assoc, linear_scan_seq
+from statecatcher_tpu.ops.scan import (
+    linear_scan,
+    linear_scan_assoc,
+    linear_scan_chunked,
+    linear_scan_seq,
+)
+from statecatcher_tpu.ops.ctc import ctc_loss, ctc_loss_per_example
+from statecatcher_tpu.ops.rnnt import rnnt_loss, rnnt_loss_fused
 
-__all__ = ["linear_scan", "linear_scan_assoc", "linear_scan_seq"]
+__all__ = [
+    "linear_scan", "linear_scan_assoc", "linear_scan_chunked",
+    "linear_scan_seq", "ctc_loss", "ctc_loss_per_example",
+    "rnnt_loss", "rnnt_loss_fused",
+]
