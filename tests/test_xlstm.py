@@ -130,9 +130,9 @@ def test_encoder_shapes_and_carry(rng):
 
 
 def test_encoder_gradients_flow(rng):
-    cfg = XLSTMConfig(embedding_dim=16, num_heads=2, num_blocks=1, chunk_size=4)
+    cfg = XLSTMConfig(embedding_dim=16, num_heads=2, num_blocks=1, chunk_size=8)
     enc = XLSTMEncoder(input_dim=8, vocab_size=9, cfg=cfg)
-    x = jnp.asarray(rng.standard_normal((2, 12, 8)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((2, 8, 8)).astype(np.float32))
     params = enc.init(jax.random.PRNGKey(0), x)
     # the vocab head is zero-init (no gradient reaches the body through it at
     # step 0, same as the reference's zero-init output proj) — give it a
