@@ -130,7 +130,6 @@ class OptimConfig:
 class TrainConfig:
     mode: str = "ctc"             # "ctc" | "rnnt"
     ctc_impl: str = "optax"       # "optax" | "lattice" | "pallas" (A/B numerics)
-    compact_rnnt: bool = False
     # Time-chunk for the fused transducer loss: the (B, chunk, U+1, V) joint
     # is the only transient; smaller = less VMEM/HBM pressure, more scan steps.
     rnnt_time_chunk: int = 16
@@ -228,7 +227,12 @@ def _dataclass_from_dict(cls, d):
     hints = {f.name: f for f in dataclasses.fields(cls)}
     for k, v in d.items():
         if k not in hints:
-            raise ValueError(f"Unknown config field {k!r} for {cls.__name__}")
+            # Tolerate fields removed in newer versions when loading saved
+            # run configs (CLI overrides stay strict via _set_by_path).
+            import warnings
+
+            warnings.warn(f"Ignoring unknown config field {k!r} for {cls.__name__}")
+            continue
         f = hints[k]
         sub = f.default_factory() if f.default_factory is not dataclasses.MISSING else None  # type: ignore[misc]
         if sub is not None and dataclasses.is_dataclass(sub) and isinstance(v, dict):

@@ -19,11 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from statecatcher_tpu.beam import beam_hypotheses, ctc_beam_search
+from statecatcher_tpu.beam import beam_hypotheses, beam_init, ctc_beam_search
 from statecatcher_tpu.config import Config
 from statecatcher_tpu.data.pipeline import BatchPipeline, stack_segment_slice
 from statecatcher_tpu.decode import ctc_greedy_decode, keep_to_token_lists
 from statecatcher_tpu.frontend import compute_features, compute_frame_mask
+from statecatcher_tpu.frontend import feat_dim as frontend_feat_dim
 from statecatcher_tpu.metrics import cer, wer
 from statecatcher_tpu.models.asr import init_carry
 from statecatcher_tpu.models.speech import build_speech_model
@@ -60,7 +61,9 @@ def evaluate(
 
     mode = cfg.train.mode
     model_cfg = dc.replace(cfg.model, vocab_size=tokenizer.vocab_size)
-    model = build_speech_model(model_cfg, 80, mode)
+    fdim = frontend_feat_dim(cfg.frontend)
+    model = build_speech_model(model_cfg, fdim, mode)
+    stack_order = max(1, model_cfg.stack_order)
     blank_id = tokenizer.blank_id
     if dataset is None:
         dataset = build_dataset(cfg)
@@ -70,28 +73,26 @@ def evaluate(
     )
     sr = cfg.data.batch_samplerate
     target_samples = int(sr * cfg.data.target_duration)
+    use_rnnt_dec = mode == "rnnt" and decoder in ("rnnt-greedy", "rnnt-beam")
 
     @jax.jit
     def forward(params, audio, sample_mask, carry):
         feats = compute_features(audio, cfg.frontend)
-        fm, in_lens = compute_frame_mask(sample_mask, feats.shape[1])
+        fm, in_lens = compute_frame_mask(sample_mask, feats.shape[1], stack_order)
         logits, new_carry = model.apply(
             params, feats, carry, fm, method="encode"
         ) if mode == "rnnt" else model.apply(params, feats, carry, fm)
-        return logits.astype(jnp.float32), in_lens, new_carry
+        enc_p = (
+            model.apply(params, logits, method="rnnt_project_encoder")
+            .astype(jnp.float32)
+            if use_rnnt_dec else None
+        )
+        return logits.astype(jnp.float32), enc_p, in_lens, new_carry
 
-    rnnt_ctx = None
-    if mode == "rnnt" and decoder in ("rnnt-greedy", "rnnt-beam"):
-        from statecatcher_tpu.rnnt_decode import pred_table_from_params
-
-        jp = params["params"]["joiner"]
-        rnnt_ctx = {
-            "pred_table": pred_table_from_params(params),
-            "jk": jp["join_kernel"].astype(jnp.float32),
-            "jb": jp["join_bias"].astype(jnp.float32),
-            "enc_kernel": jp["enc_proj"]["kernel"].astype(jnp.float32),
-            "enc_bias": jp["enc_proj"]["bias"].astype(jnp.float32),
-        }
+    rnnt_tables = None
+    if use_rnnt_dec:
+        pt, jk, jb = model.apply(params, method="rnnt_decode_tables")
+        rnnt_tables = tuple(jnp.asarray(x, jnp.float32) for x in (pt, jk, jb))
 
     pipe = BatchPipeline(dataset, target_samples, num_workers=cfg.data.num_workers)
     refs: list[str] = []
@@ -105,52 +106,73 @@ def evaluate(
             carry = init_carry(model_cfg, n_rows, jnp.dtype(model_cfg.dtype))
             per_item_hyp = [[] for _ in range(n_rows)]
             per_item_ref = [[] for _ in range(n_rows)]
+            # Decode state is carried ACROSS segments (the decode-side twin of
+            # the encoder carry, same as streaming.py) — one hypothesis per
+            # recording, extracted after its last segment.
+            beam_state = totals = None
+            rnnt_state = None
             for seg_idx in range(K):
                 audio, mask, texts = stack_segment_slice(batch, seg_idx, target_samples)
-                logits, in_lens, carry = forward(
+                logits, enc_p, in_lens, carry = forward(
                     params, jnp.asarray(audio), jnp.asarray(mask), carry
                 )
                 n_segments += 1
-                if decoder in ("rnnt-greedy", "rnnt-beam") and rnnt_ctx is not None:
+                if use_rnnt_dec:
                     from statecatcher_tpu.rnnt_decode import (
+                        rnnt_beam_init,
                         rnnt_beam_search,
-                        rnnt_beam_to_lists,
+                        rnnt_decode_init,
                         rnnt_greedy_decode,
-                        rnnt_state_to_lists,
                     )
 
-                    enc_p = logits @ rnnt_ctx["enc_kernel"] + rnnt_ctx["enc_bias"]
                     if decoder == "rnnt-beam":
-                        st = rnnt_beam_search(
-                            enc_p, rnnt_ctx["pred_table"], rnnt_ctx["jk"],
-                            rnnt_ctx["jb"], in_lens, blank_id=blank_id,
-                            beam=beam, topk=min(beam, 8),
+                        if rnnt_state is None:
+                            rnnt_state = rnnt_beam_init(n_rows, beam, 512, blank_id)
+                        rnnt_state = rnnt_beam_search(
+                            enc_p, *rnnt_tables, in_lens, blank_id=blank_id,
+                            beam=beam, topk=min(beam, 8), init_state=rnnt_state,
                         )
-                        batch_hyps = [
-                            h[0][1] if h else []
-                            for h in rnnt_beam_to_lists(st)
-                        ]
                     else:
-                        st = rnnt_greedy_decode(
-                            enc_p, rnnt_ctx["pred_table"], rnnt_ctx["jk"],
-                            rnnt_ctx["jb"], in_lens, blank_id=blank_id,
+                        if rnnt_state is None:
+                            rnnt_state = rnnt_decode_init(n_rows, 512, blank_id)
+                        rnnt_state = rnnt_greedy_decode(
+                            enc_p, *rnnt_tables, in_lens, blank_id=blank_id,
+                            init_state=rnnt_state,
                         )
-                        batch_hyps = rnnt_state_to_lists(st)
                 elif decoder == "beam":
                     lp = jax.nn.log_softmax(logits, axis=-1)
-                    state, totals = ctc_beam_search(
-                        lp, in_lens, beam=beam, blank_id=blank_id, max_len=512
+                    if beam_state is None:
+                        beam_state = beam_init(n_rows, beam, 512)
+                    beam_state, totals = ctc_beam_search(
+                        lp, in_lens, beam=beam, blank_id=blank_id, max_len=512,
+                        init_state=beam_state,
                     )
-                    batch_hyps = [
-                        h[0][1] if h else [] for h in beam_hypotheses(state, totals)
-                    ]
                 else:
                     preds, keep = ctc_greedy_decode(logits, in_lens, blank_id)
                     batch_hyps = keep_to_token_lists(np.asarray(preds), np.asarray(keep))
+                    for i in range(n_rows):
+                        if seg_idx < len(batch.text_items[i]):
+                            per_item_hyp[i].extend(batch_hyps[i])
                 for i in range(n_rows):
                     if seg_idx < len(batch.text_items[i]):
-                        per_item_hyp[i].extend(batch_hyps[i])
                         per_item_ref[i].append(texts[i])
+            if use_rnnt_dec:
+                from statecatcher_tpu.rnnt_decode import (
+                    rnnt_beam_to_lists,
+                    rnnt_state_to_lists,
+                )
+
+                if decoder == "rnnt-beam":
+                    per_item_hyp = [
+                        h[0][1] if h else [] for h in rnnt_beam_to_lists(rnnt_state)
+                    ]
+                else:
+                    per_item_hyp = rnnt_state_to_lists(rnnt_state)
+            elif decoder == "beam" and beam_state is not None:
+                per_item_hyp = [
+                    h[0][1] if h else []
+                    for h in beam_hypotheses(beam_state, totals)
+                ]
             for i in range(n_rows):
                 hyps.append(tokenizer.decode_ids(per_item_hyp[i]))
                 refs.append(" ".join(t for t in per_item_ref[i] if t))
@@ -201,9 +223,10 @@ def main(argv=None):
     import dataclasses as dc
 
     model_cfg = dc.replace(cfg.model, vocab_size=tokenizer.vocab_size)
-    model = build_speech_model(model_cfg, 80, cfg.train.mode)
+    fdim = frontend_feat_dim(cfg.frontend)
+    model = build_speech_model(model_cfg, fdim, cfg.train.mode)
     cfg2 = dc.replace(cfg, model=model_cfg)
-    template = init_train_state(model, cfg2, jax.random.PRNGKey(0), 80, 16)
+    template = init_train_state(model, cfg2, jax.random.PRNGKey(0), fdim, 16)
     mgr = CheckpointManager(ckpt_dir)
     state, meta = mgr.restore(template)
     mgr.close()

@@ -62,6 +62,21 @@ class RNNTPredictorJoiner(nn.Module):
         j = jnp.tanh(enc_proj[:, :, None, :] + pred_proj[:, None, :, :])
         return j @ self.join_kernel.astype(j.dtype) + self.join_bias.astype(j.dtype)
 
+    def decode_tables(self):
+        """Decode-time context: (pred_table (V, J), join_kernel, join_bias).
+
+        ``pred_table[v] = pred_proj(embedding(v))`` for every vocab token, so
+        each greedy/beam emission is one (B,J)×(J,V) matmul (rnnt_decode.py).
+        Going through the module (rather than raw param-dict paths) keeps
+        inference robust to parameter renames.
+        """
+        tokens = jnp.arange(self.vocab_size)
+        return self.pred_proj(self.embedding(tokens)), self.join_kernel, self.join_bias
+
+    def project_encoder(self, enc_out):
+        """Encoder output → join space, same projection the loss path uses."""
+        return self.enc_proj(enc_out)
+
     def __call__(self, enc_out, prefix):
         enc_p, pred_p, _, _ = self.project(enc_out, prefix)
         return self.joint(enc_p, pred_p)

@@ -47,6 +47,17 @@ class SpeechModel(nn.Module):
     def rnnt_joint_logits(self, enc_out, prefix):
         return self.joiner(enc_out, prefix)
 
+    def rnnt_decode_tables(self):
+        """(pred_table (V,J), join_kernel (J,V), join_bias (V,)) for decoding.
+
+        Use via ``model.apply(params, method="rnnt_decode_tables")`` so
+        inference never touches raw param-dict paths.
+        """
+        return self.joiner.decode_tables()
+
+    def rnnt_project_encoder(self, enc_out):
+        return self.joiner.project_encoder(enc_out)
+
     def __call__(self, feats, state=None, frame_mask=None, prefix=None):
         enc_out, new_state = self.encode(feats, state, frame_mask)
         if self.mode == "rnnt" and prefix is not None:

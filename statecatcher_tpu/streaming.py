@@ -38,6 +38,7 @@ class StreamingRecognizer:
         decoder: str = "greedy",       # "greedy" | "beam" | "rnnt"
         beam: int = 8,
         blank_id: int = 0,
+        max_out: int = 512,
     ):
         self.model = model
         self.params = params
@@ -46,7 +47,18 @@ class StreamingRecognizer:
         self.decoder = decoder
         self.beam = beam
         self.blank_id = blank_id
+        # Hypothesis-buffer capacity for beam/RNN-T decode state.  Emission
+        # stops silently once a stream accumulates this many tokens — size it
+        # to the longest stream you expect between ``reset()`` calls.
+        self.max_out = max_out
         fe = cfg.frontend
+        self.stack_order = max(1, cfg.model.stack_order)
+        if chunk_frames % self.stack_order != 0:
+            raise ValueError(
+                f"chunk_frames ({chunk_frames}) must be a multiple of "
+                f"model.stack_order ({self.stack_order}) so no frames are "
+                "dropped at the frame-stacking trim"
+            )
         self.chunk_frames = chunk_frames
         # samples consumed per encoder chunk; win−hop lookahead stays buffered
         self.chunk_samples = fe.hop_length * chunk_frames
@@ -60,16 +72,10 @@ class StreamingRecognizer:
         self._rnnt_state = None
 
         if decoder == "rnnt":
-            from statecatcher_tpu.rnnt_decode import pred_table_from_params
-
-            jp = params["params"]["joiner"]
-            self._rnnt_ctx = {
-                "pred_table": pred_table_from_params(params),
-                "jk": jp["join_kernel"].astype(jnp.float32),
-                "jb": jp["join_bias"].astype(jnp.float32),
-                "enc_kernel": jp["enc_proj"]["kernel"].astype(jnp.float32),
-                "enc_bias": jp["enc_proj"]["bias"].astype(jnp.float32),
-            }
+            pt, jk, jb = model.apply(params, method="rnnt_decode_tables")
+            self._rnnt_tables = tuple(
+                jnp.asarray(x, jnp.float32) for x in (pt, jk, jb)
+            )
 
             @jax.jit
             def _encode_chunk(params, audio, carry):
@@ -77,7 +83,8 @@ class StreamingRecognizer:
                 logits, new_carry = model.apply(
                     params, feats, carry, None, method="encode"
                 )
-                return logits.astype(jnp.float32), new_carry
+                enc_p = model.apply(params, logits, method="rnnt_project_encoder")
+                return enc_p.astype(jnp.float32), new_carry
         else:
             @jax.jit
             def _encode_chunk(params, audio, carry):
@@ -105,7 +112,12 @@ class StreamingRecognizer:
         """Flush remaining buffered samples (zero-padded to a full chunk)."""
         if len(self._buffer) > self.lookahead:
             pad = self.chunk_samples + self.lookahead - len(self._buffer)
-            n_valid = (len(self._buffer) - self.lookahead) // self.cfg.frontend.hop_length
+            # valid frames at the ENCODER rate (post frame-stacking)
+            n_valid = (
+                (len(self._buffer) - self.lookahead)
+                // self.cfg.frontend.hop_length
+                // self.stack_order
+            )
             chunk = np.concatenate([self._buffer, np.zeros(pad, np.float32)])
             self._buffer = np.zeros(0, np.float32)
             lp, self._carry = self._encode_chunk(
@@ -124,12 +136,12 @@ class StreamingRecognizer:
                 rnnt_greedy_decode,
             )
 
-            ctx = self._rnnt_ctx
-            enc_p = lp @ ctx["enc_kernel"] + ctx["enc_bias"]  # lp = raw enc logits
+            # lp IS the join-space encoder projection for the rnnt decoder
+            # (projected inside the jitted encode chunk)
             if self._rnnt_state is None:
-                self._rnnt_state = rnnt_decode_init(1, 512, self.blank_id)
+                self._rnnt_state = rnnt_decode_init(1, self.max_out, self.blank_id)
             self._rnnt_state = rnnt_greedy_decode(
-                enc_p, ctx["pred_table"], ctx["jk"], ctx["jb"],
+                lp, *self._rnnt_tables,
                 jnp.asarray([T]), blank_id=self.blank_id,
                 init_state=self._rnnt_state,
             )
@@ -143,10 +155,10 @@ class StreamingRecognizer:
                 self._prev_argmax = tok
         else:
             if self._beam_state is None:
-                self._beam_state = beam_init(1, self.beam, 512)
+                self._beam_state = beam_init(1, self.beam, self.max_out)
             self._beam_state, self._totals = ctc_beam_search(
                 lp, jnp.asarray([T]), beam=self.beam,
-                blank_id=self.blank_id, max_len=512,
+                blank_id=self.blank_id, max_len=self.max_out,
                 init_state=self._beam_state,
             )
 

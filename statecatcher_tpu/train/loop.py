@@ -94,19 +94,6 @@ def build_tokenizer(cfg: Config):
     raise ValueError("train.sp_model is required for http data source")
 
 
-def _pad_tokens(token_ids: list[list[int]], blank_id: int, bucket: int = 16):
-    """Token lists → fixed (B, U) array bucketed to multiples of ``bucket``
-    (limits jit recompiles), padded with blank (reference train.py:203-212)."""
-    tgt_lens = np.array([len(t) for t in token_ids], dtype=np.int32)
-    U = max(int(tgt_lens.max()), 1)
-    U = -(-U // bucket) * bucket
-    tokens = np.full((len(token_ids), U), blank_id, dtype=np.int32)
-    for i, t in enumerate(token_ids):
-        if t:
-            tokens[i, : len(t)] = np.asarray(t, dtype=np.int32)
-    return tokens, tgt_lens
-
-
 def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
     """Run training.  Returns a summary dict (final step, losses, run_dir)."""
     run_dir = setup_run_dir(cfg)

@@ -5,9 +5,12 @@ import pytest
 from statecatcher_tpu.config import Config
 
 
-def test_from_dict_unknown_field_raises():
-    with pytest.raises(ValueError):
-        Config.from_dict({"model": {"nonexistent_field": 1}})
+def test_from_dict_unknown_field_warns_and_skips():
+    # Forward compat: a saved run config may contain fields that were later
+    # removed; loading warns and ignores them instead of failing.
+    with pytest.warns(UserWarning, match="nonexistent_field"):
+        cfg = Config.from_dict({"model": {"nonexistent_field": 1, "hidden_size": 7}})
+    assert cfg.model.hidden_size == 7
 
 
 def test_nested_roundtrip_preserves_overrides():
