@@ -24,25 +24,29 @@ def group_cues_into_chunks(segments: list[Cue], window_sec: float) -> list[Chunk
     |window − undershoot|``; the remainder forms a final chunk.
     """
     chunks: list[Chunk] = []
-    cur: list[Cue] = []
-    for (start, end, text) in segments:
-        if not cur:
-            cur = [(start, end, text)]
-        else:
-            prev_start = cur[0][0]
-            prev_end = cur[-1][1]
-            undershoot = prev_end - prev_start
-            overshoot = end - prev_start
-            if overshoot < window_sec:
-                cur.append((start, end, text))
-            else:
-                if abs(overshoot - window_sec) < abs(window_sec - undershoot):
-                    cur.append((start, end, text))
-                    prev_end = end
-                chunks.append((prev_start, prev_end, [t for _, _, t in cur]))
-                cur = [(start, end, text)]
-    if cur:
-        chunks.append((cur[0][0], cur[-1][1], [t for _, _, t in cur]))
+    pending: list[Cue] = []
+    for cue in segments:
+        start, end, _ = cue
+        if not pending:
+            pending = [cue]
+            continue
+        group_start = pending[0][0]
+        dur_without = pending[-1][1] - group_start  # chunk length if closed before this cue
+        dur_with = end - group_start                # ... if this cue is kept
+        if dur_with < window_sec:
+            pending.append(cue)
+            continue
+        # This cue crosses the window: keep it in the closing chunk iff that
+        # lands closer to the target length than stopping short of it.  Either
+        # way it also seeds the next chunk (a kept boundary cue is duplicated).
+        group_end = pending[-1][1]
+        if abs(dur_with - window_sec) < abs(window_sec - dur_without):
+            pending.append(cue)
+            group_end = end
+        chunks.append((group_start, group_end, [t for _, _, t in pending]))
+        pending = [cue]
+    if pending:
+        chunks.append((pending[0][0], pending[-1][1], [t for _, _, t in pending]))
     return chunks
 
 

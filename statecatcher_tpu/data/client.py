@@ -15,6 +15,7 @@ carry-state row stays on the host that owns its utterance.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional
 
 import numpy as np
@@ -22,6 +23,8 @@ import requests
 import yaml
 from requests.adapters import HTTPAdapter
 from urllib3.util.retry import Retry
+
+logger = logging.getLogger("statecatcher.data")
 
 from statecatcher_tpu.data.audio import decode_audio
 from statecatcher_tpu.data.chunking import preprocess_recording
@@ -89,35 +92,45 @@ class SpeechDataset:
         self._vprint(f"Started session {self.session_id}")
 
     def fetch_next_batch(self) -> tuple[int, Any, list]:
+        """GET the next batch descriptor.  Raises RuntimeError on any
+        transport, HTTP, or protocol failure — the training loop catches
+        and retries (it must never die because the data server hiccuped)."""
         url = f"{self.api_url}/get_next_batch/{self.session_id}/{self.api_key}"
         try:
             resp = self.session.get(url, timeout=10)
         except requests.exceptions.RequestException as e:
-            raise RuntimeError(f"Request error while fetching batch: {e}")
+            raise RuntimeError(f"get_next_batch transport failure: {e}") from e
         if not resp.ok:
             try:
                 detail = resp.json()
             except Exception:
                 detail = resp.text
-            raise RuntimeError(f"API request failed with status {resp.status_code}: {detail}")
+            raise RuntimeError(f"get_next_batch HTTP {resp.status_code}: {detail}")
         result = resp.json()
         if not result.get("success"):
-            raise RuntimeError(f"Error fetching batch: {result.get('error', 'Unknown error')}")
+            raise RuntimeError(
+                f"get_next_batch rejected by server: {result.get('error', '?')}"
+            )
         return result["epoch"], result["batch_id"], result["batch"]
 
     def mark_batch_done(self, epoch, batch_id):
+        """POST batch completion.  Best-effort: failures are logged and
+        swallowed — the server will simply re-issue the batch."""
         url = f"{self.api_url}/mark_batch_done/{self.session_id}/{batch_id}/{self.api_key}?epoch={epoch}"
         try:
             resp = self.session.post(url, timeout=5)
         except Exception as e:
-            print(f"[WARN] Network error during mark_batch_done: {e}")
+            logger.warning("mark_batch_done(%s, %s) transport failure: %s", epoch, batch_id, e)
             return
         if not resp.ok:
-            print(f"[WARN] Failed to mark batch done. HTTP {resp.status_code}")
+            logger.warning("mark_batch_done(%s, %s) HTTP %d", epoch, batch_id, resp.status_code)
             return
         result = resp.json()
         if not result.get("success"):
-            print(f"[WARN] API error marking batch done: {result.get('error', 'Unknown error')}")
+            logger.warning(
+                "mark_batch_done(%s, %s) rejected: %s",
+                epoch, batch_id, result.get("error", "?"),
+            )
 
     def log(self, level: str, message: str):
         url = f"{self.api_url}/log/{self.session_id}/{self.api_key}"
