@@ -130,9 +130,17 @@ class OptimConfig:
 class TrainConfig:
     mode: str = "ctc"             # "ctc" | "rnnt"
     ctc_impl: str = "optax"       # "optax" | "lattice" | "pallas" (A/B numerics)
-    # Time-chunk for the fused transducer loss: the (B, chunk, U+1, V) joint
-    # is the only transient; smaller = less VMEM/HBM pressure, more scan steps.
+    # Transducer joint implementation: "pallas" = fused VMEM-resident joint
+    # kernel (ops/rnnt_pallas.py, ~4× faster at flagship shapes); "xla" =
+    # remat-chunked XLA path (ops/rnnt.py:rnnt_loss_fused, runs anywhere);
+    # "auto" = pallas on TPU, xla elsewhere.
+    rnnt_impl: str = "auto"
+    # Time-chunk for the XLA fused transducer loss: the (B, chunk, U+1, V)
+    # joint is the only transient; smaller = less HBM pressure, more steps.
     rnnt_time_chunk: int = 16
+    # Time-block per Pallas joint grid step; 8 keeps the backward tile under
+    # the 16 MB VMEM budget at vocab 1024.
+    rnnt_time_block: int = 8
     epochs: int = 10
     steps: Optional[int] = None
     optim: OptimConfig = field(default_factory=OptimConfig)

@@ -223,16 +223,27 @@ def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
             if mode == "rnnt":
                 from statecatcher_tpu.models.rnnt import make_prefix
                 from statecatcher_tpu.ops.rnnt import rnnt_loss_fused
+                from statecatcher_tpu.ops.rnnt_pallas import rnnt_loss_pallas
 
                 prefix = make_prefix(tokens, blank_id)
                 logits, new_state, (enc_p, pred_p, jk, jb) = model.apply(
                     params, feats, carry_in, frame_mask, prefix
                 )
-                loss = rnnt_loss_fused(
-                    enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
-                    blank_id=blank_id, row_valid=row_valid,
-                    time_chunk=cfg.train.rnnt_time_chunk,
-                )
+                impl = cfg.train.rnnt_impl
+                if impl == "auto":
+                    impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+                if impl == "pallas":
+                    loss = rnnt_loss_pallas(
+                        enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
+                        blank_id=blank_id, row_valid=row_valid,
+                        time_block=cfg.train.rnnt_time_block,
+                    )
+                else:
+                    loss = rnnt_loss_fused(
+                        enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
+                        blank_id=blank_id, row_valid=row_valid,
+                        time_chunk=cfg.train.rnnt_time_chunk,
+                    )
             else:
                 logits, new_state = model.apply(params, feats, carry_in, frame_mask)
                 per = ctc_loss_per_example(
