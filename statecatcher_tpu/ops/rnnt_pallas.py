@@ -30,8 +30,8 @@ over time blocks (VMEM-resident output block per b), d_K accumulated over the
 whole grid (constant-index output block; TPU grids run sequentially on a
 core, so read-modify-write revisiting is well-defined).
 
-``rnnt_loss_pallas`` composes this with the XLA lattice DP (ops/rnnt.py),
-whose cost is ~10 % of the step.
+``rnnt_loss_pallas`` composes this with the Pallas lattice DP
+(ops/rnnt_dp_pallas.py).
 """
 
 from __future__ import annotations
@@ -43,7 +43,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from statecatcher_tpu.ops.rnnt import rnnt_nll_from_blank_emit
 
 _LANE = 128
 
@@ -318,11 +317,13 @@ def rnnt_loss_pallas(
     Same semantics/normalization as ops/rnnt.py:rnnt_loss_fused (mean over
     valid rows of per-utterance NLL, warp_rnnt reduction="mean" parity).
     """
+    from statecatcher_tpu.ops.rnnt_dp_pallas import rnnt_nll_dp_pallas
+
     blank_lp, emit_lp = joint_blank_emit(
         enc_proj, pred_proj, join_kernel, join_bias, labels,
         blank_id=blank_id, time_block=time_block,
     )
-    per = rnnt_nll_from_blank_emit(blank_lp, emit_lp, t_lens, u_lens)
+    per = rnnt_nll_dp_pallas(blank_lp, emit_lp, t_lens, u_lens)
     if row_valid is None:
         return jnp.mean(per)
     valid = row_valid.astype(per.dtype)
