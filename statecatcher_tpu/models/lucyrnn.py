@@ -198,7 +198,10 @@ class LucyRNNEncoder(nn.Module):
                 h_layers.append(h_T)
                 s_layers.append(s_T)
                 if l < cfg.num_layers - 1:
+                    # epsilon=1e-5 matches torch nn.LayerNorm's default
+                    # (reference lucyrnn_triton.py:97); flax defaults to 1e-6
                     x_t = nn.LayerNorm(
+                        epsilon=1e-5,
                         dtype=self.dtype, param_dtype=self.param_dtype,
                         name=f"track{t}_norm{l}",
                     )(x_t)

@@ -118,7 +118,9 @@ def ctc_loss_per_example(
     impl: str = "lattice",
 ) -> jnp.ndarray:
     """Per-example CTC loss, PyTorch-normalized (nll / max(label_len, 1))."""
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # At least f32 for the log-space DP; f64 logits stay f64 (parity tests).
+    acc_dtype = jnp.promote_types(logits.dtype, jnp.float32)
+    log_probs = jax.nn.log_softmax(logits.astype(acc_dtype), axis=-1)
     if impl == "optax":
         nll = ctc_nll_optax(log_probs, in_lens, labels, label_lens, blank_id)
     elif impl == "lattice":
