@@ -14,6 +14,15 @@ implementation of the same architecture family:
     (reference model.py:305,340-347)
   * block = pre-norm mLSTM mixer + pre-norm SwiGLU FFN, residual both
 
+Kernel selection (``XLSTMConfig.kernel_impl``, mirroring the reference's
+chunkwise_kernel/step_kernel flags, reference train.py:650-653):
+"chunkwise" (XLA scan over chunks), "recurrent" (sequential step path —
+the step_kernel role), "pallas" (ops/mlstm_pallas.py — VMEM-resident state).
+
+sLSTM: out of scope by reference parity — the reference instantiates
+``xLSTMLarge`` (reference model.py:6,214-229), the mLSTM-only architecture;
+no sLSTM block is reachable from any reference config.
+
 Carried segment state per block: (C, n, m) — the matrix-memory equivalent of
 the reference's per-block state dict, batch-major for DP sharding.
 
@@ -46,6 +55,44 @@ def _soft_cap(x, cap: float):
     if cap <= 0:
         return x
     return cap * jnp.tanh(x / cap)
+
+
+def mlstm_recurrent(
+    q, k, v,            # (B, H, T, dqk/dv)
+    i_raw, f_raw,       # (B, H, T)
+    C0, n0, m0,         # (B, H, dqk, dv), (B, H, dqk), (B, H)
+    gate_soft_cap: float = 15.0,
+):
+    """Sequential per-timestep stabilized mLSTM (the reference's
+    ``step_kernel`` role, reference train.py:650-653).  Exactly the same
+    math as the chunkwise form with L=1 — used as the golden recurrence for
+    kernel equivalence tests and for step-at-a-time streaming decode.
+
+      m_t = max(logσ(f_t) + m_{t-1}, ĩ_t)
+      C_t = e^{logσ(f_t)+m_{t-1}−m_t} C_{t-1} + e^{ĩ_t−m_t} k_t v_tᵀ
+      h_t = (q_tᵀ C_t) / max(|q_tᵀ n_t|, e^{−m_t})
+    """
+    dqk = q.shape[-1]
+    q = q * (dqk ** -0.5)
+    i_c = _soft_cap(i_raw, gate_soft_cap)
+    logf = jax.nn.log_sigmoid(_soft_cap(f_raw, gate_soft_cap))
+
+    def step(carry, inp):
+        C, n, m = carry
+        qt, kt, vt, it, lft = inp               # (B,H,d*) and (B,H)
+        m_new = jnp.maximum(lft + m, it)
+        decay = jnp.exp(lft + m - m_new)[..., None]          # (B,H,1)
+        write = jnp.exp(it - m_new)[..., None]               # (B,H,1)
+        C = decay[..., None] * C + (kt * write)[..., None] * vt[..., None, :]
+        n = decay * n + kt * write
+        qn = jnp.sum(qt * n, axis=-1)                        # (B,H)
+        num = jnp.einsum("bhd,bhdv->bhv", qt, C)
+        denom = jnp.maximum(jnp.abs(qn), jnp.exp(-m_new))[..., None]
+        return (C, n, m_new), num / denom
+
+    xs = tuple(jnp.moveaxis(x, 2, 0) for x in (q, k, v, i_c, logf))
+    (C_T, n_T, m_T), hs = lax.scan(step, (C0, n0, m0), xs)
+    return jnp.moveaxis(hs, 0, 2), C_T, n_T, m_T
 
 
 def mlstm_chunkwise(
@@ -143,6 +190,7 @@ class MLSTMLayer(nn.Module):
     v_dim_factor: float
     chunk_size: int
     gate_soft_cap: float
+    kernel_impl: str = "chunkwise"   # "chunkwise" | "recurrent" | "pallas"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -173,11 +221,29 @@ class MLSTMLayer(nn.Module):
         C0 = state["C"].astype(jnp.float32)
         n0 = state["n"].astype(jnp.float32)
         m0 = state["m"].astype(jnp.float32)
-        h, C_T, n_T, m_T = mlstm_chunkwise(
+        qkvif = (
             q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
             i_raw.astype(jnp.float32), f_raw.astype(jnp.float32),
-            C0, n0, m0, self.chunk_size, self.gate_soft_cap,
         )
+        if self.kernel_impl == "recurrent":
+            h, C_T, n_T, m_T = mlstm_recurrent(
+                *qkvif, C0, n0, m0, self.gate_soft_cap,
+            )
+        elif self.kernel_impl == "pallas":
+            from statecatcher_tpu.ops.mlstm_pallas import mlstm_chunkwise_pallas
+
+            h, C_T, n_T, m_T = mlstm_chunkwise_pallas(
+                *qkvif, C0, n0, m0, self.chunk_size, self.gate_soft_cap,
+            )
+        elif self.kernel_impl == "chunkwise":
+            h, C_T, n_T, m_T = mlstm_chunkwise(
+                *qkvif, C0, n0, m0, self.chunk_size, self.gate_soft_cap,
+            )
+        else:
+            raise ValueError(
+                f"Unknown xLSTM kernel_impl {self.kernel_impl!r} "
+                "(expected chunkwise|recurrent|pallas)"
+            )
         h = h.astype(self.dtype)
 
         # per-head RMS norm, output gate, merge heads
@@ -265,6 +331,7 @@ class XLSTMEncoder(nn.Module):
                 embedding_dim=E, num_heads=H,
                 qk_dim_factor=cfg.qk_dim_factor, v_dim_factor=cfg.v_dim_factor,
                 chunk_size=cfg.chunk_size, gate_soft_cap=cfg.gate_soft_cap,
+                kernel_impl=cfg.kernel_impl,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"block{bi}_mlstm",
             )(h, block_state)

@@ -151,3 +151,94 @@ def test_encoder_gradients_flow(rng):
     g = jax.grad(loss)(params)
     gq = np.asarray(g["params"]["block0_mlstm"]["q"]["kernel"])
     assert np.isfinite(gq).all() and np.abs(gq).max() > 0
+
+
+def test_recurrent_matches_chunkwise(rng):
+    """kernel_impl="recurrent" (sequential step path) == chunkwise."""
+    from statecatcher_tpu.models.xlstm import mlstm_recurrent
+
+    q, k, v, i_raw, f_raw, C0, n0, m0 = _rand(rng, T=20)
+    C0 = rng.standard_normal(C0.shape).astype(np.float32) * 0.3
+    m0 = rng.standard_normal(m0.shape).astype(np.float32) * 0.2
+    ref = mlstm_chunkwise(
+        *map(jnp.asarray, (q, k, v, i_raw, f_raw, C0, n0, m0)), chunk_size=8
+    )
+    got = mlstm_recurrent(
+        *map(jnp.asarray, (q, k, v, i_raw, f_raw, C0, n0, m0))
+    )
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("T", [16, 20])      # aligned and ragged (pad path)
+def test_pallas_matches_chunkwise(rng, T):
+    """kernel_impl="pallas" forward == chunkwise (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from statecatcher_tpu.ops.mlstm_pallas import mlstm_chunkwise_pallas
+
+    q, k, v, i_raw, f_raw, C0, n0, m0 = _rand(rng, T=T)
+    C0 = rng.standard_normal(C0.shape).astype(np.float32) * 0.3
+    m0 = rng.standard_normal(m0.shape).astype(np.float32) * 0.2
+    args = tuple(map(jnp.asarray, (q, k, v, i_raw, f_raw, C0, n0, m0)))
+    ref = mlstm_chunkwise(*args, chunk_size=8)
+    with pltpu.force_tpu_interpret_mode():
+        got = mlstm_chunkwise_pallas(*args, 8)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_gradients_match_chunkwise(rng):
+    """The custom VJP (XLA recompute) == autodiff of the chunkwise form."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from statecatcher_tpu.ops.mlstm_pallas import mlstm_chunkwise_pallas
+
+    q, k, v, i_raw, f_raw, C0, n0, m0 = _rand(rng, T=16)
+    args = tuple(map(jnp.asarray, (q, k, v, i_raw, f_raw, C0, n0, m0)))
+
+    def loss_ref(*a):
+        h, C, n, m = mlstm_chunkwise(*a, chunk_size=8)
+        return jnp.sum(h * h) + jnp.sum(C) + jnp.sum(n) + jnp.sum(m)
+
+    def loss_pal(*a):
+        h, C, n, m = mlstm_chunkwise_pallas(*a, 8)
+        return jnp.sum(h * h) + jnp.sum(C) + jnp.sum(n) + jnp.sum(m)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5, 6, 7))(*args)
+    with pltpu.force_tpu_interpret_mode():
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4, 5, 6, 7))(*args)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_encoder_kernel_impl_dispatch(rng):
+    """Every XLSTMConfig.kernel_impl value changes the executed path but not
+    the result; an unknown value raises."""
+    from statecatcher_tpu.models.xlstm import xlstm_init_carry
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = rng.standard_normal((2, 12, 16)).astype(np.float32)
+    outs = {}
+    for impl in ("chunkwise", "recurrent", "pallas"):
+        cfg = XLSTMConfig(embedding_dim=16, num_heads=2, num_blocks=1,
+                          chunk_size=4, kernel_impl=impl)
+        enc = XLSTMEncoder(input_dim=16, vocab_size=7, cfg=cfg)
+        state0 = xlstm_init_carry(cfg, 2)
+        with pltpu.force_tpu_interpret_mode():
+            params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+            logits, new_state = enc.apply(params, jnp.asarray(x), state0)
+        outs[impl] = (np.asarray(logits), np.asarray(new_state["m"]))
+    for impl in ("recurrent", "pallas"):
+        np.testing.assert_allclose(outs[impl][0], outs["chunkwise"][0],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(outs[impl][1], outs["chunkwise"][1],
+                                   rtol=1e-4, atol=1e-4)
+    bad = XLSTMConfig(embedding_dim=16, num_heads=2, num_blocks=1,
+                      kernel_impl="nope")
+    enc = XLSTMEncoder(input_dim=16, vocab_size=7, cfg=bad)
+    with pytest.raises(ValueError, match="kernel_impl"):
+        enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
