@@ -87,6 +87,12 @@ class ModelConfig:
     vocab_size: int = 1024
     dtype: str = "float32"         # compute dtype for activations ("bfloat16" on TPU)
     param_dtype: str = "float32"
+    # Dtype of the carried recurrent state BETWEEN segments.  "auto" = same as
+    # `dtype`.  "float32" under bfloat16 activations avoids accumulating a
+    # rounding per segment boundary on hour-long recordings (the reference
+    # carries fp16 under AMP — reference train.py:515-526 — so this is the
+    # strictly safer option it lacks).
+    carry_dtype: str = "auto"
     lucyrnn: LucyRNNConfig = field(default_factory=LucyRNNConfig)
     xlstm: XLSTMConfig = field(default_factory=XLSTMConfig)
     # RNN-T predictor/joiner dims (reference train.py:638-639)

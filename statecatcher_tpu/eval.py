@@ -103,7 +103,7 @@ def evaluate(
             batch = pipe.next_batch()
             n_rows = len(batch.audio_items)
             K = batch.num_segments(cfg.data.batch_segment_strategy)
-            carry = init_carry(model_cfg, n_rows, jnp.dtype(model_cfg.dtype))
+            carry = init_carry(model_cfg, n_rows)
             per_item_hyp = [[] for _ in range(n_rows)]
             per_item_ref = [[] for _ in range(n_rows)]
             # Decode state is carried ACROSS segments (the decode-side twin of

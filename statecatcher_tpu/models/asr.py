@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from statecatcher_tpu.config import ModelConfig
@@ -69,7 +70,7 @@ class ASRModel(nn.Module):
         raise ValueError(f"Unknown encoder type: {self.cfg.encoder!r}")
 
     def init_state(self, batch_size: int):
-        return init_carry(self.cfg, batch_size, self.dtype)
+        return init_carry(self.cfg, batch_size)
 
     @nn.compact
     def __call__(self, feats, state=None, frame_mask=None):
@@ -103,17 +104,29 @@ class ASRModel(nn.Module):
             if frame_mask is not None:
                 x = x * frame_mask[..., None].astype(x.dtype)
             logits, new_state = encoder(x, state, frame_mask)
+        cdt = carry_dtype(cfg)
+        new_state = jax.tree.map(lambda s: s.astype(cdt), new_state)
         return logits, new_state
 
 
-def init_carry(cfg: ModelConfig, batch_size: int, dtype=jnp.float32):
+def carry_dtype(cfg: ModelConfig) -> jnp.dtype:
+    """Resolved dtype of the inter-segment carry (``cfg.carry_dtype``;
+    "auto" → the activation dtype)."""
+    name = cfg.carry_dtype
+    return jnp.dtype(cfg.dtype if name == "auto" else name)
+
+
+def init_carry(cfg: ModelConfig, batch_size: int, dtype=None):
     """Zero carry-state pytree for an encoder config — a pure function (no
     module machinery) so the training loop can build donated buffers.
 
     Batch-major layout: axis 0 is the utterance, so the carry shards with its
-    batch rows under a data-parallel mesh.
+    batch rows under a data-parallel mesh.  ``dtype=None`` resolves from
+    ``cfg.carry_dtype`` (fp32 carry under bf16 activations when configured).
     """
     B = batch_size
+    if dtype is None:
+        dtype = carry_dtype(cfg)
     if cfg.encoder == "lstm":
         shape = (B, cfg.num_layers, cfg.hidden_size)
         return {"h": jnp.zeros(shape, dtype), "c": jnp.zeros(shape, dtype)}

@@ -65,7 +65,7 @@ class SpeechModel(nn.Module):
         return enc_out, new_state
 
     def init_state(self, batch_size: int):
-        return init_carry(self.cfg, batch_size, self.dtype)
+        return init_carry(self.cfg, batch_size)
 
 
 def build_speech_model(cfg: ModelConfig, feat_dim: int, mode: str) -> SpeechModel:
