@@ -183,6 +183,10 @@ class MeshConfig:
 
     data_parallel: int = -1      # -1 = all available devices
     model_parallel: int = 1
+    # Mesh axis used by sequence/context-parallel scans when the encoder is
+    # configured with model.lucyrnn.kernel_impl="sp" (ops/scan_sp.py): the
+    # segment's time axis shards over this axis inside the recurrence.
+    sequence_axis: str = "model"
     force_num_cpu_devices: int = 0   # >0: test mode with virtual CPU devices
 
 

@@ -124,4 +124,8 @@ def linear_scan(a, b, s0, impl: str = "auto") -> jnp.ndarray:
         from statecatcher_tpu.ops.lucy_pallas import linear_scan_pallas
 
         return linear_scan_pallas(a, b, s0)
+    if impl == "sp":
+        from statecatcher_tpu.ops.scan_sp import linear_scan_sp
+
+        return linear_scan_sp(a, b, s0)
     raise ValueError(f"Unknown scan impl {impl!r}")

@@ -16,12 +16,53 @@ Composition rule (affine maps s ↦ A·s + S):
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from statecatcher_tpu.ops.scan import linear_scan_assoc
+
+# Active (mesh, axis_name) for kernel_impl="sp" scans.  Set by the train-step
+# builder (train/step.py) around tracing; read by linear_scan(impl="sp") at
+# trace time, so the flax cell needs no mesh plumbing.
+_ACTIVE = threading.local()
+
+
+@contextlib.contextmanager
+def sequence_parallel_scans(mesh: Mesh, axis_name: str = "model"):
+    """Activate time-sharded scans for ``kernel_impl="sp"`` within the block."""
+    prev = getattr(_ACTIVE, "ctx", None)
+    _ACTIVE.ctx = (mesh, axis_name)
+    try:
+        yield
+    finally:
+        _ACTIVE.ctx = prev
+
+
+def linear_scan_sp(a: jnp.ndarray, b: jnp.ndarray, s0: jnp.ndarray) -> jnp.ndarray:
+    """``linear_scan`` impl="sp" entry: time axis sharded over the active
+    mesh axis (see ``sequence_parallel_scans``).  Pads T to a multiple of the
+    axis size with identity steps (a=1, b=0)."""
+    ctx = getattr(_ACTIVE, "ctx", None)
+    if ctx is None:
+        raise RuntimeError(
+            "kernel_impl='sp' needs an active sequence_parallel_scans(mesh) "
+            "context — enable mesh.sequence_parallel in the train config, or "
+            "wrap the call site"
+        )
+    mesh, axis_name = ctx
+    Pn = mesh.shape[axis_name]
+    B, T, D = a.shape
+    pad = (-T) % Pn
+    if pad:
+        a = jnp.concatenate([a, jnp.ones((B, pad, D), a.dtype)], axis=1)
+        b = jnp.concatenate([b, jnp.zeros((B, pad, D), b.dtype)], axis=1)
+    out = linear_scan_time_sharded(a, b, s0, mesh, axis_name)
+    return out[:, :T]
 
 
 def _local_scan_block(a, b, s0, axis_name: str):
@@ -57,17 +98,15 @@ def linear_scan_time_sharded(
     a, b: (B, T, D) with T divisible by the axis size; s0: (B, D) replicated.
     Returns the full scan, sharded the same way as the inputs.
     """
-    from jax.experimental.shard_map import shard_map
-
     spec_t = P(None, axis_name, None)
     spec_r = P()
-    fn = shard_map(
+    fn = jax.shard_map(
         lambda a_, b_, s0_: _local_scan_block(a_, b_, s0_, axis_name),
         mesh=mesh,
         in_specs=(spec_t, spec_t, spec_r),
         out_specs=spec_t,
         # the replicated s0's cotangent is axis-varying (summed at the
-        # boundary); disable the static replication checker to allow it
-        check_rep=False,
+        # boundary); disable the static varying-manual-axes checker to allow it
+        check_vma=False,
     )
     return fn(a, b, s0)

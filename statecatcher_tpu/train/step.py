@@ -98,6 +98,7 @@ def make_train_step(
     tokens (B, U) i32, tok_lens (B,) i32, row_valid (B,) bool.
     """
     step = _make_step_body(model, cfg, blank_id, ctc_impl)
+    step = _maybe_sequence_parallel(step, cfg, mesh_plan)
     donate = (0, 1)  # state and carry buffers are donated (updated in place)
     if mesh_plan is None:
         return jax.jit(step, donate_argnums=donate)
@@ -176,6 +177,7 @@ def make_segment_scan_step(
         )
         return state, carry, outs
 
+    batch_step = _maybe_sequence_parallel(batch_step, cfg, mesh_plan)
     if mesh_plan is None:
         return jax.jit(batch_step, donate_argnums=(0, 1))
 
@@ -196,6 +198,22 @@ def make_segment_scan_step(
             preds=seg_sh, keep=seg_sh, in_lens=seg_sh,
         )),
     )
+
+
+def _maybe_sequence_parallel(step_fn, cfg: Config, mesh_plan):
+    """Wrap a step so kernel_impl="sp" scans trace inside the active
+    sequence-parallel context (ops/scan_sp.py) — time axis sharded over
+    ``cfg.mesh.sequence_axis`` of the mesh."""
+    if mesh_plan is None or cfg.model.lucyrnn.kernel_impl != "sp":
+        return step_fn
+
+    from statecatcher_tpu.ops.scan_sp import sequence_parallel_scans
+
+    def wrapped(*args):
+        with sequence_parallel_scans(mesh_plan.mesh, cfg.mesh.sequence_axis):
+            return step_fn(*args)
+
+    return wrapped
 
 
 def _pred_shape(audio, cfg: Config):
@@ -288,11 +306,25 @@ def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
 
 def init_train_state(model, cfg: Config, rng, feat_dim: int, sample_T: int) -> TrainState:
     """Initialize parameters + optimizer state with a dummy forward."""
+    import contextlib
+
     dummy = jnp.zeros((1, sample_T, feat_dim), jnp.float32)
-    if cfg.train.mode == "rnnt":
-        prefix = jnp.zeros((1, 2), jnp.int32)
-        params = model.init(rng, dummy, None, None, prefix)
-    else:
-        params = model.init(rng, dummy)
+    ctx = contextlib.nullcontext()
+    if cfg.model.lucyrnn.kernel_impl == "sp":
+        # Init runs before the training mesh exists; a trivial 1×1 mesh gives
+        # the sp scan its named axis (params are impl-independent anyway).
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from statecatcher_tpu.ops.scan_sp import sequence_parallel_scans
+
+        tiny = Mesh(_np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+        ctx = sequence_parallel_scans(tiny, cfg.mesh.sequence_axis)
+    with ctx:
+        if cfg.train.mode == "rnnt":
+            prefix = jnp.zeros((1, 2), jnp.int32)
+            params = model.init(rng, dummy, None, None, prefix)
+        else:
+            params = model.init(rng, dummy)
     tx = build_optimizer(cfg.train.optim)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
