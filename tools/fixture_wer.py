@@ -1,0 +1,165 @@
+"""Fixture-WER anchor: train LucyRNN-CTC on tone-coded synthetic speech and
+report WER on held-out recordings (BASELINE.md "Measured" row).
+
+Each vocabulary word is rendered as a unique two-tone chirp, so the
+audio→text mapping is genuinely learnable (not memorization): held-out
+recordings reuse the same words in unseen sequences.  This pins the whole
+pipeline end-to-end — WAV ingestion, VTT cue grouping, MFCC frontend,
+stateful segment-streaming encoder, CTC training, greedy decode, WER metric —
+the server-free stand-in for the reference's speechcatcher-data WER runs
+(reference train.py:214-265 computes only train-TER; this is stricter).
+
+Usage:  python tools/fixture_wer.py [--steps 400] [--hidden 256] [--layers 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from statecatcher_tpu.config import Config  # noqa: E402
+from statecatcher_tpu.data.audio import write_wav_bytes  # noqa: E402
+
+WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+         "golf", "hotel", "india", "juliet"]
+SR = 16000
+WORD_SEC = 0.28
+GAP_SEC = 0.10
+BASE_HZ = 320.0
+
+
+def _word_audio(word_idx: int, rng) -> np.ndarray:
+    """Two-tone signature per word: f1 = base·2^(i/6), f2 = base·2^((i+3)/6)."""
+    n = int(SR * WORD_SEC)
+    t = np.arange(n) / SR
+    f1 = BASE_HZ * 2 ** (word_idx / 6)
+    f2 = BASE_HZ * 2 ** ((word_idx + 3) / 6)
+    half = n // 2
+    x = np.concatenate([
+        0.4 * np.sin(2 * np.pi * f1 * t[:half]),
+        0.4 * np.sin(2 * np.pi * f2 * t[half:]),
+    ])
+    # light noise so the mapping is robust, not a lookup of exact samples
+    x = x + rng.normal(0.0, 0.01, size=n)
+    return x.astype(np.float32)
+
+
+def _ts(sec: float) -> str:
+    m, s = divmod(sec, 60.0)
+    return f"00:{int(m):02d}:{s:06.3f}"
+
+
+def make_recording(path_stem: str, rng, n_cues: int = 3, words_per_cue: int = 3):
+    gap = np.zeros(int(SR * GAP_SEC), np.float32)
+    audio_parts = [gap]
+    cues = []
+    t = GAP_SEC
+    for _ in range(n_cues):
+        start = t
+        text_words = []
+        for _ in range(words_per_cue):
+            wi = int(rng.integers(len(WORDS)))
+            audio_parts += [_word_audio(wi, rng), gap]
+            text_words.append(WORDS[wi])
+            t += WORD_SEC + GAP_SEC
+        cues.append((start, t, " ".join(text_words)))
+    audio = np.concatenate(audio_parts)
+    with open(path_stem + ".wav", "wb") as f:
+        f.write(write_wav_bytes(audio, SR))
+    lines = ["WEBVTT", ""]
+    for s, e, text in cues:
+        lines += [f"{_ts(s)} --> {_ts(e)}", text, ""]
+    with open(path_stem + ".vtt", "w") as f:
+        f.write("\n".join(lines))
+
+
+def make_dataset(dirname: str, seed: int, n_recordings: int):
+    os.makedirs(dirname, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n_recordings):
+        make_recording(os.path.join(dirname, f"rec{i:03d}"), rng)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    work = args.workdir or tempfile.mkdtemp(prefix="fixture_wer_")
+    train_dir = os.path.join(work, "train")
+    heldout_dir = os.path.join(work, "heldout")
+    make_dataset(train_dir, seed=0, n_recordings=24)
+    make_dataset(heldout_dir, seed=1, n_recordings=8)
+    print(f"[fixture_wer] data in {work}", flush=True)
+
+    common = [
+        "--model.encoder", "lucyrnn",
+        "--model.hidden_size", str(args.hidden),
+        "--model.num_layers", str(args.layers),
+        "--data.source", "local",
+        "--data.batch_samplerate", str(SR),
+        "--data.batch_size", "8",
+        "--data.target_duration", "2.0",
+        "--data.num_workers", "2",
+        "--train.mode", "ctc",
+    ]
+    cfg = Config().apply_overrides(common + [
+        "--data.local_dir", train_dir,
+        "--train.model_dir", os.path.join(work, "models"),
+        "--train.steps", str(args.steps),
+        "--train.optim.lr", str(args.lr),
+        "--train.epochs", "100000",
+        "--train.log_every_n", "50",
+    ])
+
+    from statecatcher_tpu.train.loop import train
+
+    summary = train(cfg)
+    print(f"[fixture_wer] trained: step={summary['global_step']} "
+          f"final_loss={summary['final_loss']:.3f}", flush=True)
+
+    import dataclasses as dc
+
+    from statecatcher_tpu.eval import evaluate
+    from statecatcher_tpu.tokenizer import load_tokenizer
+    from statecatcher_tpu.train.checkpoint import CheckpointManager
+    from statecatcher_tpu.train.step import init_train_state
+    from statecatcher_tpu.frontend import feat_dim as frontend_feat_dim
+    from statecatcher_tpu.models.speech import build_speech_model
+    import jax
+
+    run_dir = summary["run_dir"]
+    tokenizer = load_tokenizer(os.path.join(run_dir, "tokenizer.json"))
+    eval_cfg = Config().apply_overrides(common + [
+        "--data.local_dir", heldout_dir,
+    ])
+    model_cfg = dc.replace(eval_cfg.model, vocab_size=tokenizer.vocab_size)
+    eval_cfg = dc.replace(eval_cfg, model=model_cfg)
+    fdim = frontend_feat_dim(eval_cfg.frontend)
+    model = build_speech_model(model_cfg, fdim, "ctc")
+    template = init_train_state(model, eval_cfg, jax.random.PRNGKey(0), fdim, 16)
+    mgr = CheckpointManager(run_dir)
+    state, _ = mgr.restore(template)
+    mgr.close()
+
+    result = evaluate(eval_cfg, state.params, tokenizer, max_batches=1,
+                      decoder="greedy")
+    print(f"[fixture_wer] held-out WER: {result.wer:.4f}  CER: {result.cer:.4f}  "
+          f"({result.num_utterances} utts, {result.num_segments} segments)")
+    for r, h in list(zip(result.refs, result.hyps))[:4]:
+        print(f"  ref: {r}\n  hyp: {h}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
