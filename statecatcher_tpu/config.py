@@ -36,17 +36,26 @@ class FrontendConfig:
 
 @dataclass(frozen=True)
 class LucyRNNConfig:
-    """7-gate gated linear-recurrent cell (reference lucyrnn_triton.py).
+    """LucyRNN cell family (reference lucyrnn_triton.py / lucyrnn.py).
 
     The canonical LucyRNN for parity is the reference's Triton variant
     (7 gates r,z,k,v,h_pre,decay,alpha + grouped RMS normalization;
     reference lucyrnn_triton.py:204-241) — reference model.py:308-310 always
-    instantiates that one for ``encoder=lucyrnn``.
+    instantiates that one for ``encoder=lucyrnn``.  ``variant="native"``
+    selects the distinct 6-gate LayerNorm cell the reference also ships
+    (reference lucyrnn.py:8-70; SURVEY.md Appendix A.14) —
+    models/lucyrnn_native.py.
     """
 
     hidden_dim: int = 512
     num_layers: int = 4
     num_tracks: int = 1
+    variant: str = "triton"        # "triton" (7-gate) | "native" (6-gate)
+    # -- native-variant knobs (reference lucyrnn_conf.py) --
+    fused_ops: bool = False        # one fused 6D gate matmul vs six separate
+    layer_norm: bool = True        # cell-internal LayerNorms on/off
+    decay_mode: str = "learned"    # "learned" | "prefix_sum"
+    lambda_decay: float = 0.001    # prefix_sum positional decay rate
     # Kernel implementation for the time recurrence:
     #   "auto"      — pallas on TPU, assoc elsewhere
     #   "pallas"    — fused Pallas scan kernel (TPU)

@@ -48,6 +48,17 @@ class ASRModel(nn.Module):
             lcfg = dataclasses.replace(
                 cfg.lucyrnn, hidden_dim=cfg.hidden_size, num_layers=cfg.num_layers
             )
+            if lcfg.variant == "native":
+                from statecatcher_tpu.models.lucyrnn_native import LucyNativeEncoder
+
+                # The fused-cell impl is 7-gate-specific; fall back to the
+                # Pallas scan kernel for the native variant.
+                if lcfg.kernel_impl in ("pallas-fused", "auto-fused"):
+                    lcfg = dataclasses.replace(lcfg, kernel_impl="pallas")
+                return LucyNativeEncoder(
+                    input_dim=enc_in, vocab_size=cfg.vocab_size, cfg=lcfg,
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
+                )
             return LucyRNNEncoder(
                 input_dim=enc_in, vocab_size=cfg.vocab_size, cfg=lcfg,
                 dtype=self.dtype, param_dtype=self.param_dtype, name="encoder",
@@ -131,7 +142,10 @@ def init_carry(cfg: ModelConfig, batch_size: int, dtype=None):
         shape = (B, cfg.num_layers, cfg.hidden_size)
         return {"h": jnp.zeros(shape, dtype), "c": jnp.zeros(shape, dtype)}
     if cfg.encoder == "lucyrnn":
-        shape = (B, cfg.lucyrnn.num_tracks, cfg.num_layers, cfg.hidden_size)
+        if cfg.lucyrnn.variant == "native":
+            shape = (B, cfg.num_layers, cfg.hidden_size)
+        else:
+            shape = (B, cfg.lucyrnn.num_tracks, cfg.num_layers, cfg.hidden_size)
         return {"h": jnp.zeros(shape, dtype), "s": jnp.zeros(shape, dtype)}
     if cfg.encoder == "xlstm":
         from statecatcher_tpu.models.xlstm import xlstm_init_carry
