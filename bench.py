@@ -40,7 +40,7 @@ def main():
     n_disp = int(os.environ.get("BENCH_DISPATCHES", "2"))
     seconds = float(os.environ.get("BENCH_SECONDS", "16.0"))
     kernel = os.environ.get("BENCH_KERNEL", "")  # "" = config default
-    ctc_impl = os.environ.get("BENCH_CTC", "optax")
+    ctc_impl = os.environ.get("BENCH_CTC", "auto")  # auto = pallas on TPU
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     encoder = os.environ.get("BENCH_ENCODER", "lucyrnn")  # lucyrnn|lstm|xlstm|rwkv
     mode = os.environ.get("BENCH_MODE", "ctc")            # ctc|rnnt
@@ -112,11 +112,18 @@ def main():
             baseline = None
     vs = (audio_sec_per_sec / baseline) if baseline else 1.0
 
+    # Speed-of-light context (statecatcher_tpu/roofline.py): matmul MFU and
+    # % of the overlapped compute/memory roofline for this config.
+    from statecatcher_tpu.roofline import train_step_roofline
+
+    rl = train_step_roofline(cfg, fdim, U, mode)
     print(json.dumps({
         "metric": f"train_audio_seconds_per_second_per_chip_{encoder}_{mode}_stateful",
         "value": round(audio_sec_per_sec, 2),
         "unit": "audio_sec/s/chip",
         "vs_baseline": round(vs, 3),
+        "mfu": round(rl.mfu(audio_sec_per_sec), 4),
+        "pct_speed_of_light": round(100 * rl.pct_sol(audio_sec_per_sec), 2),
     }))
 
 

@@ -144,7 +144,8 @@ class OptimConfig:
 @dataclass(frozen=True)
 class TrainConfig:
     mode: str = "ctc"             # "ctc" | "rnnt"
-    ctc_impl: str = "optax"       # "optax" | "lattice" | "pallas" (A/B numerics)
+    # "auto" = pallas on TPU (fastest measured), optax elsewhere.
+    ctc_impl: str = "auto"        # "auto" | "optax" | "lattice" | "pallas"
     # Transducer joint implementation: "pallas" = fused VMEM-resident joint
     # kernel (ops/rnnt_pallas.py, ~4× faster at flagship shapes); "xla" =
     # remat-chunked XLA path (ops/rnnt.py:rnnt_loss_fused, runs anywhere);

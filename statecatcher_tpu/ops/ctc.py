@@ -31,6 +31,21 @@ def _expand_labels(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
     return ext.at[:, 1::2].set(labels)
 
 
+def emit_log_probs(log_probs: jnp.ndarray, ext: jnp.ndarray) -> jnp.ndarray:
+    """Emission lookup (B,T,V) × (B,S) labels → (B,T,S), as a one-hot matmul.
+
+    ``take_along_axis`` here lowers to a scalar gather on TPU (~175 ms at
+    flagship shapes — 60× this einsum, measured in tools/profile_ctc.py);
+    the HIGHEST-precision one-hot matmul runs on the MXU, is bit-exact for
+    f32 inputs, and its VJP is the transposed matmul instead of a scatter.
+    """
+    V = log_probs.shape[2]
+    onehot = jax.nn.one_hot(ext, V, dtype=log_probs.dtype)      # (B, S, V)
+    return jnp.einsum(
+        "btv,bsv->bts", log_probs, onehot, precision=lax.Precision.HIGHEST
+    )
+
+
 def ctc_nll_lattice(
     log_probs: jnp.ndarray,    # (B, T, V) log-softmax
     in_lens: jnp.ndarray,      # (B,)
@@ -54,10 +69,8 @@ def ctc_nll_lattice(
     )
     allow_skip = (ext != blank_id) & (ext != ext_prev2)     # (B, S)
 
-    # Gather per-timestep state emission log-probs: (B, T, S)
-    emit = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[:, None, :], (B, T, S)), axis=2
-    )
+    # Per-timestep state emission log-probs: (B, T, S)
+    emit = emit_log_probs(log_probs, ext)
 
     alpha0 = jnp.full((B, S), _NEG_INF)
     alpha0 = alpha0.at[:, 0].set(emit[:, 0, 0])
@@ -121,6 +134,11 @@ def ctc_loss_per_example(
     # At least f32 for the log-space DP; f64 logits stay f64 (parity tests).
     acc_dtype = jnp.promote_types(logits.dtype, jnp.float32)
     log_probs = jax.nn.log_softmax(logits.astype(acc_dtype), axis=-1)
+    if impl == "auto":
+        # Pallas lattice kernel on TPU (8.2 ms fwd+bwd at flagship shapes vs
+        # optax 15.2 — tools/profile_ctc.py); optax elsewhere (the Pallas
+        # kernel would need interpret mode off-TPU).
+        impl = "pallas" if jax.default_backend() == "tpu" else "optax"
     if impl == "optax":
         nll = ctc_nll_optax(log_probs, in_lens, labels, label_lens, blank_id)
     elif impl == "lattice":

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from statecatcher_tpu.ops.ctc import _expand_labels
+from statecatcher_tpu.ops.ctc import _expand_labels, emit_log_probs
 
 _NEG = -1e30
 _LANE = 128
@@ -149,10 +149,18 @@ def _prep(log_probs, in_lens, labels, blank_id):
         [jnp.full((B, 2), -1, dtype=ext.dtype), ext[:, :-2]], axis=1
     )
     allow_skip = (ext != blank_id) & (ext != ext_prev2)
-    emit = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[:, None, :], (B, T, S)), axis=2
-    ).astype(jnp.float32)
+    emit = emit_log_probs(log_probs, ext).astype(jnp.float32)
     return ext, allow_skip, emit, S
+
+
+def _auto_chunk(T, BP, SP, chunk):
+    """Largest time-chunk whose double-buffered emit-in + alpha-out blocks
+    (4 live (C, BP, SP) f32 tiles) stay within ~12 MB of the 16 MB scoped
+    VMEM budget — at S=384, C=128 OOMs the grad compile (measured)."""
+    budget = 12 * 1024 * 1024
+    c = budget // (4 * BP * SP * 4)
+    c = max(8, (min(chunk, c) // 8) * 8)
+    return min(c, T)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -161,7 +169,7 @@ def _alpha_all(emit, allow_skip, in_lens, chunk=128):
     B, T, S = emit.shape
     BP = -(-B // 8) * 8
     SP = -(-S // _LANE) * _LANE
-    C = min(chunk, T)
+    C = _auto_chunk(T, BP, SP, chunk)
     TP = -(-T // C) * C
 
     emit_p = _pad_to(_pad_to(_pad_to(emit, TP, 1, _NEG), SP, 2, _NEG), BP, 0, _NEG)
@@ -199,7 +207,7 @@ def _beta_all(emit, allow_skip, in_lens, label_lens, chunk=128):
     B, T, S = emit.shape
     BP = -(-B // 8) * 8
     SP = -(-S // _LANE) * _LANE
-    C = min(chunk, T)
+    C = _auto_chunk(T, BP, SP, chunk)
     TP = -(-T // C) * C
 
     emit_rev = jnp.flip(emit, axis=1)
@@ -299,7 +307,9 @@ def _bwd(blank_id, res, g):
     gamma = jnp.where(t_idx < in_lens[:, None, None], gamma, 0.0)
     # project states → vocab with a one-hot matmul (MXU)
     onehot = jax.nn.one_hot(ext, V, dtype=gamma.dtype)        # (B, S, V)
-    dlogp = -jnp.einsum("bts,bsv->btv", gamma, onehot)
+    dlogp = -jnp.einsum(
+        "bts,bsv->btv", gamma, onehot, precision=jax.lax.Precision.HIGHEST
+    )
     dlogp = dlogp * g[:, None, None]
     return dlogp.astype(jnp.float32), None, None, None
 

@@ -1,0 +1,120 @@
+"""Analytic speed-of-light model for the flagship train step (SURVEY.md §6).
+
+Answers "is 6000 audio-sec/s/chip actually fast?" by computing, from the
+model config, the FLOPs and principal HBM bytes one audio-second of training
+costs, and dividing by chip peaks.  Reported by bench.py as ``mfu`` (model
+FLOPs / peak FLOPs) and ``pct_speed_of_light`` (achieved / roofline
+throughput, where roofline time = max(compute time, memory time) — the
+overlapped-roofline bound).
+
+Assumptions (deliberately simple, stated so the numbers are auditable):
+  * matmul FLOPs only for the MFU numerator (industry convention) — gate
+    projections, output/vocab projections, CTC emission/grad matmuls,
+    RNN-T joiner; backward = 2x forward matmuls.
+  * HBM bytes counts each principal intermediate once per producer/consumer
+    pass (write + read): gate tensors, scan inputs/outputs (f32), encoder
+    activations, logits/log-probs (f32), optimizer state (f32 m/v/p read +
+    write per segment update), parameter reads per matmul.
+  * Elementwise/VPU work (sigmoid/tanh/RMS, scan combine) is bandwidth-,
+    not flop-limited, so it is represented by its bytes, not its FLOPs.
+
+Chip peaks default to TPU v5e (v5 lite): 197 TFLOP/s bf16, 819 GB/s HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from statecatcher_tpu.config import Config
+
+V5E_PEAK_FLOPS_BF16 = 197e12
+V5E_PEAK_HBM_BPS = 819e9
+
+
+@dataclass
+class Roofline:
+    flops_per_audio_sec: float        # matmul FLOPs (fwd+bwd)
+    bytes_per_audio_sec: float        # principal HBM traffic
+    sol_audio_sec_per_sec: float      # overlapped-roofline throughput bound
+
+    def mfu(self, achieved_audio_sec_per_sec: float,
+            peak_flops: float = V5E_PEAK_FLOPS_BF16) -> float:
+        return achieved_audio_sec_per_sec * self.flops_per_audio_sec / peak_flops
+
+    def pct_sol(self, achieved_audio_sec_per_sec: float) -> float:
+        return achieved_audio_sec_per_sec / self.sol_audio_sec_per_sec
+
+
+def train_step_roofline(
+    cfg: Config,
+    feat_dim: int = 80,
+    max_label_len: int = 128,
+    mode: str = "ctc",
+    peak_flops: float = V5E_PEAK_FLOPS_BF16,
+    peak_hbm: float = V5E_PEAK_HBM_BPS,
+) -> Roofline:
+    m = cfg.model
+    D = m.hidden_size
+    L = m.num_layers
+    V = m.vocab_size
+    stack = max(1, m.stack_order)
+    # frames per audio-second at the (possibly stacked) encoder rate
+    hop_s = cfg.frontend.hop_length / cfg.frontend.sample_rate
+    frames = (1.0 / hop_s) / stack
+    act_bytes = 2 if m.dtype == "bfloat16" else 4
+
+    if m.encoder == "lucyrnn" and m.lucyrnn.variant != "native":
+        gates = 7
+    elif m.encoder == "lucyrnn":
+        gates = 6
+    elif m.encoder == "lstm":
+        gates = 4
+    else:
+        gates = 8  # xlstm/rwkv: q/k/v/gates + ffn, coarse
+    din0 = feat_dim * stack
+
+    # ---- matmul FLOPs per frame (forward) ----
+    enc_fwd = 2 * din0 * gates * D + 2 * (L - 1) * D * gates * D
+    proj_fwd = 2 * D * V
+    fwd = enc_fwd + proj_fwd
+    if mode == "ctc":
+        S = 2 * max_label_len + 1
+        # emission one-hot matmul fwd + grad projection bwd (ops/ctc.py)
+        fwd += 2 * V * S
+    else:
+        J = m.rnnt_joiner_dim
+        # fused joint recompute (fwd + bwd recompute) dominated by T×U joint
+        fwd += 2 * max_label_len * J * V / frames * frames  # per frame: U*J*V
+        fwd += 2 * max_label_len * J * V
+    flops_frame = 3 * fwd  # bwd = 2x fwd matmuls
+
+    # ---- principal HBM bytes per frame ----
+    by = 0.0
+    # gate tensors: written by matmul, read by scan prep; grads mirrored
+    by += 2 * (2 * gates * D * act_bytes)
+    # two scans per layer: coefficients in + state out, f32, fwd + bwd adjoint
+    by += 2 * (2 * (2 * D * 4) + 2 * (2 * D * 4))
+    by *= L
+    # inter-layer activations (write + read, fwd + bwd)
+    by += 2 * 2 * L * D * act_bytes
+    # logits + log_probs + dlogits, f32
+    by += 3 * 2 * V * 4
+    if mode == "ctc":
+        S = 2 * max_label_len + 1
+        # emit, alpha, beta, gamma tiles (f32, write+read each)
+        by += 4 * 2 * S * 4
+    bytes_frame = by
+
+    # optimizer: adam reads p,g,m,v and writes p,m,v in f32 once per
+    # segment update; amortize over the audio-seconds in one segment batch
+    n_params = din0 * gates * D + (L - 1) * D * gates * D + D * V
+    seg_audio = cfg.data.batch_size * cfg.data.target_duration
+    opt_bytes_per_audio_sec = n_params * 4 * 7 / max(seg_audio, 1e-9)
+
+    flops_per_audio_sec = flops_frame * frames
+    bytes_per_audio_sec = bytes_frame * frames + opt_bytes_per_audio_sec
+
+    t_flops = flops_per_audio_sec / peak_flops
+    t_bytes = bytes_per_audio_sec / peak_hbm
+    sol = 1.0 / max(t_flops, t_bytes)
+    return Roofline(flops_per_audio_sec, bytes_per_audio_sec, sol)
