@@ -264,6 +264,18 @@ def test_native_mask_freezes_state_and_grads_flow():
         st_masked, st_short,
     )
 
+    # The output projection is zero-initialized (reference parity,
+    # lucyrnn.py:85-87), which would make sum(logits²) gradient-free
+    # everywhere — randomize it so gradient flow through the cell is tested.
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: (
+            jax.random.normal(jax.random.PRNGKey(8), leaf.shape, leaf.dtype)
+            if any(getattr(p, "key", None) == "output_proj" for p in path)
+            else leaf
+        ),
+        params,
+    )
+
     def loss(p):
         logits, _ = model.apply(p, x, None)
         return jnp.sum(logits**2)
