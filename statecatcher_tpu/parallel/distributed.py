@@ -81,3 +81,66 @@ def per_host_batch_size(global_batch: int, topo: HostTopology) -> int:
 def psum_scalar(x, axis_name: str = "data"):
     """Cross-replica scalar sum for metrics (inside pjit/shard_map only)."""
     return jax.lax.psum(x, axis_name)
+
+
+# --------------------------------------------------------------------- #
+# Multi-process array plumbing for the full training loop
+# (single-process calls collapse to plain device_put / identity, so the
+#  loop has ONE code path; reference has no counterpart — SURVEY.md §2.3).
+# --------------------------------------------------------------------- #
+
+def make_global(local_array, sharding):
+    """Assemble a global jax.Array from each process's local slice.
+
+    ``local_array``: this host's rows for dimensions sharded across
+    processes, full size along replicated dimensions.  Single-process:
+    a plain ``device_put``.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(local_array, sharding)
+    return jax.make_array_from_process_local_data(
+        sharding, np.asarray(local_array)
+    )
+
+
+def local_rows(global_array, batch_axis: int = 0):
+    """This process's rows of a batch-sharded global array, as numpy,
+    ordered by global batch index.  Fully-replicated arrays pass through."""
+    import numpy as np
+
+    if jax.process_count() == 1 or global_array.is_fully_replicated:
+        return np.asarray(global_array)
+    shards = sorted(
+        global_array.addressable_shards,
+        key=lambda s: s.index[batch_axis].start or 0,
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=batch_axis)
+
+
+def sync_int(value: int, reduce: str = "max") -> int:
+    """Cross-process agreement on a host-computed integer (segment count K,
+    token pad width U, …).  No-op for a single process."""
+    if jax.process_count() == 1:
+        return int(value)
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    all_vals = multihost_utils.process_allgather(np.asarray([value], np.int64))
+    return int(all_vals.max() if reduce == "max" else all_vals.min())
+
+
+def shared_run_dir(run_dir: str, max_len: int = 512) -> str:
+    """All processes adopt the primary's run directory (orbax multihost
+    checkpointing requires one shared path).  No-op for a single process."""
+    if jax.process_count() == 1:
+        return run_dir
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.uint8)
+    raw = run_dir.encode("utf-8")[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(out[out != 0]).decode("utf-8")

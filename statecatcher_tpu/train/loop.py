@@ -95,8 +95,27 @@ def build_tokenizer(cfg: Config):
 
 
 def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
-    """Run training.  Returns a summary dict (final step, losses, run_dir)."""
-    run_dir = setup_run_dir(cfg)
+    """Run training.  Returns a summary dict (final step, losses, run_dir).
+
+    Works single-process or under ``jax.distributed`` with N processes: each
+    host fetches and preprocesses its own B/N rows (per-host data sessions,
+    SURVEY.md §2.3 comm-backend row), assembles them into global
+    batch-sharded arrays, and XLA emits the gradient allreduce — per-segment
+    losses/updates are identical to the single-process run over the same
+    global batch.
+    """
+    from statecatcher_tpu.parallel.distributed import (
+        local_rows, make_global, shared_run_dir, sync_int,
+    )
+
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        # one shared run dir (orbax multihost save coordinates through it)
+        run_dir = setup_run_dir(cfg) if jax.process_index() == 0 else ""
+        run_dir = shared_run_dir(run_dir)
+        os.makedirs(run_dir, exist_ok=True)
+    else:
+        run_dir = setup_run_dir(cfg)
     _setup_logging(run_dir)
     logger.info("Run directory: %s", run_dir)
 
@@ -115,7 +134,7 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
     vocab_size = tokenizer.vocab_size
     blank_id = tokenizer.blank_id
     logger.info("Vocab size: %d (blank_id=%d)", vocab_size, blank_id)
-    if hasattr(tokenizer, "save"):
+    if hasattr(tokenizer, "save") and jax.process_index() == 0:
         # snapshot next to the checkpoints so eval/inference reconstructs the
         # exact token mapping (the reference has no such artifact)
         tokenizer.save(os.path.join(run_dir, "tokenizer.json"))
@@ -129,7 +148,10 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
     sr = cfg.data.batch_samplerate
     target_samples = int(sr * cfg.data.target_duration)
     T = num_frames(target_samples, cfg.frontend)
-    B = cfg.data.batch_size
+    B = cfg.data.batch_size                 # global batch
+    if B % n_proc != 0:
+        raise ValueError(f"batch_size {B} not divisible by {n_proc} processes")
+    B_local = B // n_proc                   # rows this host owns
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = init_train_state(model, cfg, rng, fdim, min(T, 64))
@@ -162,10 +184,25 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
         from statecatcher_tpu.parallel.mesh import make_mesh_plan
 
         mesh_plan = make_mesh_plan(cfg.mesh)
-        state = mesh_plan.shard_replicated(state)
+        if n_proc > 1:
+            # params are identical on every host (same seed); assemble the
+            # replicated global arrays from each host's copy
+            state = jax.tree.map(
+                lambda x: make_global(
+                    np.asarray(x), mesh_plan.replicated_sharding()
+                ),
+                state,
+            )
+        else:
+            state = mesh_plan.shard_replicated(state)
         logger.info(
             "data-parallel mesh: %d×%d devices, %d rows/device",
             mesh_plan.data_size, mesh_plan.model_size, B // mesh_plan.data_size,
+        )
+    elif n_proc > 1:
+        raise ValueError(
+            f"multi-process training needs a data-parallel mesh: "
+            f"{n_dev} devices, dp={dp}, batch {B}"
         )
 
     train_step = make_segment_scan_step(
@@ -176,7 +213,7 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
     if dataset is None:
         dataset = build_dataset(cfg)
     dataset.start_session(
-        batch_size=B, order=cfg.data.order,
+        batch_size=B_local, order=cfg.data.order,
         min_duration=cfg.data.min_duration, max_duration=cfg.data.max_duration,
     )
 
@@ -195,8 +232,13 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
         "num_params": int(n_params),
     })
 
+    import collections
+
     timer = StageTimer()
     meter = ThroughputMeter()
+    # rolling history of per-segment losses (windowed `losses` is cleared at
+    # each log flush; the summary and parity tests want the raw sequence)
+    loss_history: collections.deque = collections.deque(maxlen=100_000)
     losses: list[float] = []
     window_refs: list[str] = []
     window_hyps: list[str] = []
@@ -207,14 +249,17 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
 
     def _resolve_metrics(p):
         outs, group, last_texts, rows, audio_secs, step_at = p
-        loss_vals = np.asarray(outs.loss)[:group]
+        loss_vals = np.asarray(outs.loss)[:group]   # replicated scalars
         losses.extend(float(x) for x in loss_vals)
+        loss_history.extend(float(x) for x in loss_vals)
         meter.step(audio_secs)
         if len(losses) >= cfg.train.log_every_n:
             with timer.time("metrics"):
                 last = group - 1
+                # decode this host's rows only (preds are batch-sharded)
                 hyp_lists = keep_to_token_lists(
-                    np.asarray(outs.preds[last]), np.asarray(outs.keep[last])
+                    local_rows(outs.preds, batch_axis=1)[last],
+                    local_rows(outs.keep, batch_axis=1)[last],
                 )
                 for i in range(rows):
                     window_hyps.append(tokenizer.decode_ids(hyp_lists[i]))
@@ -257,11 +302,21 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
                 break
 
             K = batch.num_segments(cfg.data.batch_segment_strategy)
+            # all hosts must agree on the segment count of the global batch
+            K = sync_int(
+                K, "min" if cfg.data.batch_segment_strategy == "clipping" else "max"
+            )
             n_rows = len(batch.audio_items)
 
             # Reset the carry at each new recording batch (reference
             # train.py:460) — fixed shape B for compile-once.
-            carry = model.init_state(B)
+            if n_proc > 1:
+                carry = jax.tree.map(
+                    lambda x: make_global(np.asarray(x), mesh_plan.batch_sharding()),
+                    model.init_state(B_local),
+                )
+            else:
+                carry = model.init_state(B)
             KG = max(1, cfg.train.segments_per_dispatch)
 
             seg_idx = 0
@@ -280,8 +335,8 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
                         audio, mask, texts = stack_segment_slice(
                             batch, si, target_samples
                         )
-                        if n_rows < B:  # pad to fixed batch shape
-                            pad = B - n_rows
+                        if n_rows < B_local:  # pad to fixed per-host shape
+                            pad = B_local - n_rows
                             audio = np.pad(audio, ((0, pad), (0, 0)))
                             mask = np.pad(mask, ((0, pad), (0, 0)))
                             texts = texts + [""] * pad
@@ -290,14 +345,17 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
                         g_mask.append(mask)
                         g_texts.append(texts)
                         g_tokens.append(token_ids)
-                    row_valid = np.broadcast_to(np.arange(B) < n_rows, (KG, B))
+                    row_valid = np.broadcast_to(
+                        np.arange(B_local) < n_rows, (KG, B_local)
+                    )
                     seg_valid = np.arange(KG) < group
-                    # common token padding across the group (bucketed)
+                    # common token padding across the group (bucketed); all
+                    # hosts must agree so the global array shapes match
                     flat = [t for seg in g_tokens for t in seg]
                     U = max(max((len(t) for t in flat), default=1), 1)
-                    U = -(-U // 16) * 16
-                    tokens = np.full((KG, B, U), blank_id, dtype=np.int32)
-                    tgt_lens = np.zeros((KG, B), dtype=np.int32)
+                    U = sync_int(-(-U // 16) * 16, "max")
+                    tokens = np.full((KG, B_local, U), blank_id, dtype=np.int32)
+                    tgt_lens = np.zeros((KG, B_local), dtype=np.int32)
                     for gi, seg in enumerate(g_tokens):
                         for bi, t in enumerate(seg):
                             tgt_lens[gi, bi] = len(t)
@@ -307,19 +365,35 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
                     while len(g_audio) < KG:
                         g_audio.append(np.zeros_like(g_audio[0]))
                         g_mask.append(np.zeros_like(g_mask[0]))
-                        g_texts.append([""] * B)
+                        g_texts.append([""] * B_local)
                     audio_k = np.stack(g_audio)
                     mask_k = np.stack(g_mask)
 
                 with timer.time("train_step"):
                     # async dispatch: nothing here blocks — the device starts
                     # while the host prepares the next group
-                    state, carry, outs = train_step(
-                        state, carry,
-                        jnp.asarray(audio_k), jnp.asarray(mask_k),
-                        jnp.asarray(tokens), jnp.asarray(tgt_lens),
-                        jnp.asarray(row_valid), jnp.asarray(seg_valid),
-                    )
+                    if n_proc > 1:
+                        from jax.sharding import NamedSharding, PartitionSpec
+
+                        seg_sh = NamedSharding(
+                            mesh_plan.mesh, PartitionSpec(None, "data")
+                        )
+                        repl_sh = mesh_plan.replicated_sharding()
+                        args = (
+                            make_global(audio_k, seg_sh),
+                            make_global(mask_k, seg_sh),
+                            make_global(tokens, seg_sh),
+                            make_global(tgt_lens, seg_sh),
+                            make_global(np.ascontiguousarray(row_valid), seg_sh),
+                            make_global(seg_valid, repl_sh),
+                        )
+                    else:
+                        args = (
+                            jnp.asarray(audio_k), jnp.asarray(mask_k),
+                            jnp.asarray(tokens), jnp.asarray(tgt_lens),
+                            jnp.asarray(row_valid), jnp.asarray(seg_valid),
+                        )
+                    state, carry, outs = train_step(state, carry, *args)
 
                 global_step += group
                 # Resolve the PREVIOUS dispatch's metrics now (one dispatch of
@@ -361,13 +435,16 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
         if cfg.train.debug and global_step > 0:
             from statecatcher_tpu.debug import check_carry
 
-            check_carry(jax.device_get(carry), batch_size=B)
+            check_carry(
+                jax.tree.map(local_rows, carry), batch_size=B_local
+            )
         logger.info("Stage timing: %s", timer.summary())
 
     return {
         "run_dir": run_dir,
         "global_step": global_step,
-        "final_loss": losses[-1] if losses else None,
+        "final_loss": loss_history[-1] if loss_history else None,
+        "loss_history": list(loss_history),
         "audio_sec_per_sec": meter.audio_seconds_per_second,
         "stage_timing": timer.summary(),
     }
