@@ -72,6 +72,20 @@ def lucy_cell_parallel(
         h_all, s_all = lucy_fused_cell(gates, h0, s0, frame_mask)
         return h_all, h_all[:, -1, :], s_all[:, -1, :]
 
+    if impl == "pallas-dual":
+        # Gate normalization in XLA (fuses into the gate matmul epilogue),
+        # then ONE kernel for the s-scan → tanh → h-scan chain
+        # (ops/lucy_pallas.py:lucy_dual_scan).  The h-scan offset is derived
+        # in-kernel as (1 − a_h)·c — identical under masking, where a_h = 1.
+        from statecatcher_tpu.ops.lucy_pallas import (
+            lucy_dual_scan,
+            lucy_gate_coeffs,
+        )
+
+        a_s, b_s, a_h, _, h_pre_n = lucy_gate_coeffs(gates, frame_mask)
+        h_all, s_all = lucy_dual_scan(a_s, b_s, a_h, h_pre_n, h0, s0)
+        return h_all, h_all[:, -1, :], s_all[:, -1, :]
+
     r, z, k, v, h_pre, decay, alpha = [
         gates[:, :, i, :] for i in range(7)
     ]

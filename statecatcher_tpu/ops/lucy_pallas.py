@@ -157,7 +157,7 @@ linear_scan_pallas.defvjp(_fwd, _bwd)
 _EPS = 1e-6
 
 
-def _lucy_elementwise(gates, frame_mask=None):
+def lucy_gate_coeffs(gates, frame_mask=None):
     """Raw gates (B, T, 7, D) → scan coefficients (a_s, b_s, a_h, bh_c, h_pre_n).
 
     Same math as models/lucyrnn.py:lucy_cell_parallel up to the scans;
@@ -355,7 +355,7 @@ def _fused_bwd(res, cotangents):
 
     # Recompute the elementwise chain (and capture its VJP) in XLA.
     (a_s, b_s, a_h, bh_c, h_pre_n), elem_vjp = jax.vjp(
-        lambda g: _lucy_elementwise(g, frame_mask), gates.astype(jnp.float32)
+        lambda g: lucy_gate_coeffs(g, frame_mask), gates.astype(jnp.float32)
     )
     s_prev = jnp.concatenate(
         [s0.astype(jnp.float32)[:, None, :], s_all.astype(jnp.float32)[:, :-1]],
@@ -399,5 +399,161 @@ def _fused_bwd(res, cotangents):
 
 
 lucy_fused_cell.defvjp(_fused_fwd, _fused_bwd)
+
+
+# =========================================================================== #
+# Dual-scan kernel: the s-scan → tanh → h-scan chain in ONE kernel, but with
+# the gate normalization left to XLA (where it fuses into the gate matmul's
+# epilogue).  Inputs are four (B, T, D) planes in their natural layout —
+# a_s, b_s, a_h, h_pre_n — so unlike ``lucy_fused_cell`` there is no
+# (B,T,7,D) → (B,7,T,D) relayout pass of the full gate tensor (measured to
+# cost more than the fusion saved).  The h-scan's offset uses the identity
+# b_h = (1 − a_h)·c, which also holds on masked steps (mask forces a_h = 1,
+# b_h = 0), so the mask never enters the kernel.
+#
+# vs the separate-scans path this removes the HBM round-trips of c/b_h and
+# the intermediate s_all read (s_all is still written once for the backward
+# and the final carry).
+# =========================================================================== #
+
+
+def _dual_scan_kernel(C: int, BD: int):
+    def kernel(h0_ref, s0_ref, as_ref, bs_ref, ah_ref, hp_ref,
+               h_out_ref, s_out_ref, hc_ref, sc_ref):
+        it = pl.program_id(2)
+
+        @pl.when(it == 0)
+        def _():
+            hc_ref[:] = h0_ref[0].astype(jnp.float32)
+            sc_ref[:] = s0_ref[0].astype(jnp.float32)
+
+        a_s = as_ref[0].astype(jnp.float32)       # (C, BD)
+        b_s = bs_ref[0].astype(jnp.float32)
+        a_h = ah_ref[0].astype(jnp.float32)
+        h_pre = hp_ref[0].astype(jnp.float32)
+
+        As, Bs = _hillis_steele(a_s, b_s, C)
+        s = Bs + As * sc_ref[0:1, :]
+        c = jnp.tanh(h_pre + s)
+        Ah, Bh = _hillis_steele(a_h, (1.0 - a_h) * c, C)
+        h = Bh + Ah * hc_ref[0:1, :]
+
+        h_out_ref[0] = h.astype(h_out_ref.dtype)
+        s_out_ref[0] = s.astype(s_out_ref.dtype)
+        hc_ref[:] = jnp.broadcast_to(h[C - 1:C, :], hc_ref.shape)
+        sc_ref[:] = jnp.broadcast_to(s[C - 1:C, :], sc_ref.shape)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _dual_scan_fwd_impl(a_s, b_s, a_h, h_pre, h0, s0, chunk: int = 256):
+    B, T, D = a_s.shape
+    C = min(chunk, max(8, T))
+    pad_t = (-T) % C
+    pad_d = (-D) % _LANE
+    if pad_t or pad_d:
+        pad3 = ((0, 0), (0, pad_t), (0, pad_d))
+        # identity steps in the pad: a=1, b-parts 0
+        a_s = jnp.pad(a_s, pad3, constant_values=1.0)
+        b_s = jnp.pad(b_s, pad3)
+        a_h = jnp.pad(a_h, pad3, constant_values=1.0)
+        h_pre = jnp.pad(h_pre, pad3)
+        h0 = jnp.pad(h0, ((0, 0), (0, pad_d)))
+        s0 = jnp.pad(s0, ((0, 0), (0, pad_d)))
+    Tp, Dp = T + pad_t, D + pad_d
+    BD = _LANE
+    grid = (B, Dp // BD, Tp // C)
+    h0_t = jnp.broadcast_to(h0[:, None, :], (B, 8, Dp))
+    s0_t = jnp.broadcast_to(s0[:, None, :], (B, 8, Dp))
+
+    plane = pl.BlockSpec((1, C, BD), lambda ib, id_, it: (ib, it, id_),
+                         memory_space=pltpu.VMEM)
+    init = pl.BlockSpec((1, 8, BD), lambda ib, id_, it: (ib, 0, id_),
+                        memory_space=pltpu.VMEM)
+    h_all, s_all = pl.pallas_call(
+        _dual_scan_kernel(C, BD),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Tp, Dp), a_s.dtype),
+            jax.ShapeDtypeStruct((B, Tp, Dp), a_s.dtype),
+        ),
+        grid=grid,
+        in_specs=[init, init, plane, plane, plane, plane],
+        out_specs=(plane, plane),
+        scratch_shapes=[
+            pltpu.VMEM((8, BD), jnp.float32),
+            pltpu.VMEM((8, BD), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(h0_t, s0_t, a_s, b_s, a_h, h_pre)
+    return h_all[:, :T, :D], s_all[:, :T, :D]
+
+
+@jax.custom_vjp
+def lucy_dual_scan(a_s, b_s, a_h, h_pre, h0, s0):
+    """Fused s-scan → tanh → h-scan:  returns (h_all, s_all), (B, T, D)."""
+    return _dual_scan_fwd_impl(a_s, b_s, a_h, h_pre, h0, s0)
+
+
+def _dual_fwd(a_s, b_s, a_h, h_pre, h0, s0):
+    h_all, s_all = _dual_scan_fwd_impl(a_s, b_s, a_h, h_pre, h0, s0)
+    return (h_all, s_all), (a_s, a_h, h_pre, h0, s0, h_all, s_all)
+
+
+def _dual_bwd(res, cotangents):
+    a_s, a_h, h_pre, h0, s0, h_all, s_all = res
+    g_h, g_s = cotangents
+    g_h = g_h.astype(jnp.float32)
+    g_s = g_s.astype(jnp.float32)
+    B, T, D = a_s.shape
+    a_s32 = a_s.astype(jnp.float32)
+    a_h32 = a_h.astype(jnp.float32)
+    s32 = s_all.astype(jnp.float32)
+    s_prev = jnp.concatenate(
+        [s0.astype(jnp.float32)[:, None, :], s32[:, :-1]], axis=1
+    )
+    h_prev = jnp.concatenate(
+        [h0.astype(jnp.float32)[:, None, :], h_all.astype(jnp.float32)[:, :-1]],
+        axis=1,
+    )
+    c = jnp.tanh(h_pre.astype(jnp.float32) + s32)
+
+    def reverse_scan(a, g):
+        a_rev = jnp.flip(a, axis=1)
+        a_shift = jnp.concatenate(
+            [jnp.ones((B, 1, D), a.dtype), a_rev[:, :-1]], axis=1
+        )
+        lam_rev = _linear_scan_pallas_fwd_impl(
+            a_shift, jnp.flip(g, axis=1), jnp.zeros((B, D), a.dtype)
+        )
+        return jnp.flip(lam_rev, axis=1)
+
+    # h-recurrence adjoint: h_t = a_h·h_{t-1} + (1 − a_h)·c_t
+    lam_h = reverse_scan(a_h32, g_h)
+    d_a_h = lam_h * (h_prev - c)
+    d_c = lam_h * (1.0 - a_h32)
+    dh0 = lam_h[:, 0] * a_h32[:, 0]
+
+    # c = tanh(h_pre + s): both inputs get d_c·(1 − c²)
+    d_pre = d_c * (1.0 - jnp.square(c))
+
+    # s-recurrence adjoint (external g_s + internal path through c)
+    lam_s = reverse_scan(a_s32, g_s + d_pre)
+    d_a_s = lam_s * s_prev
+    ds0 = lam_s[:, 0] * a_s32[:, 0]
+
+    return (
+        d_a_s.astype(a_s.dtype),
+        lam_s.astype(a_s.dtype),
+        d_a_h.astype(a_h.dtype),
+        d_pre.astype(h_pre.dtype),
+        dh0.astype(h0.dtype),
+        ds0.astype(s0.dtype),
+    )
+
+
+lucy_dual_scan.defvjp(_dual_fwd, _dual_bwd)
 
 

@@ -28,6 +28,16 @@ import pytest  # noqa: E402
 def pytest_configure(config):
     config.addinivalue_line("markers", "tpu: needs a real TPU chip")
     config.addinivalue_line("markers", "slow: long-running test")
+    # TPU runs must stay single-process: xdist workers would each open a
+    # client against the one tunneled chip.  This hook runs before xdist's
+    # (trylast) pytest_configure, so clearing the options here prevents the
+    # DSession from registering at all.
+    if os.environ.get("STATECATCHER_TEST_TPU") == "1" and getattr(
+        config.option, "numprocesses", None
+    ):
+        config.option.numprocesses = 0
+        config.option.dist = "no"
+        config.option.tx = []
 
 
 def pytest_collection_modifyitems(config, items):

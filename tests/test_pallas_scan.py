@@ -75,7 +75,8 @@ def test_pallas_scan_bf16_inputs(rng):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
 
 
-def test_fused_cell_matches_unfused(rng):
+@pytest.mark.parametrize("impl", ["pallas-fused", "pallas-dual"])
+def test_fused_cell_matches_unfused(rng, impl):
     from statecatcher_tpu.models.lucyrnn import lucy_cell_parallel
 
     B, T, D = 2, 40, 128
@@ -84,7 +85,7 @@ def test_fused_cell_matches_unfused(rng):
     s0 = rng.standard_normal((B, D)).astype(np.float32)
 
     def fused(g, h, s):
-        return lucy_cell_parallel(g, h, s, impl="pallas-fused")
+        return lucy_cell_parallel(g, h, s, impl=impl)
 
     got = _run(fused, jnp.asarray(gates), jnp.asarray(h0), jnp.asarray(s0))
     want = lucy_cell_parallel(jnp.asarray(gates), jnp.asarray(h0),
@@ -94,7 +95,8 @@ def test_fused_cell_matches_unfused(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_fused_cell_masked_matches_unfused(rng):
+@pytest.mark.parametrize("impl", ["pallas-fused", "pallas-dual"])
+def test_fused_cell_masked_matches_unfused(rng, impl):
     from statecatcher_tpu.models.lucyrnn import lucy_cell_parallel
 
     B, T, D = 2, 24, 128
@@ -105,7 +107,7 @@ def test_fused_cell_masked_matches_unfused(rng):
     mask[1, 10:] = False
 
     def fused(g, h, s):
-        return lucy_cell_parallel(g, h, s, impl="pallas-fused",
+        return lucy_cell_parallel(g, h, s, impl=impl,
                                   frame_mask=jnp.asarray(mask))
 
     got = _run(fused, jnp.asarray(gates), jnp.asarray(h0), jnp.asarray(s0))
@@ -117,7 +119,8 @@ def test_fused_cell_masked_matches_unfused(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_fused_cell_grad_matches_unfused(rng):
+@pytest.mark.parametrize("impl", ["pallas-fused", "pallas-dual"])
+def test_fused_cell_grad_matches_unfused(rng, impl):
     from statecatcher_tpu.models.lucyrnn import lucy_cell_parallel
 
     B, T, D = 2, 24, 128
@@ -132,7 +135,7 @@ def test_fused_cell_grad_matches_unfused(rng):
             return (jnp.sum(h_all * w) + jnp.sum(h_T) + 0.5 * jnp.sum(s_T))
         return f
 
-    gp = _run(jax.grad(loss("pallas-fused"), argnums=(0, 1, 2)),
+    gp = _run(jax.grad(loss(impl), argnums=(0, 1, 2)),
               jnp.asarray(gates), jnp.asarray(h0), jnp.asarray(s0))
     ga = jax.grad(loss("assoc"), argnums=(0, 1, 2))(
         jnp.asarray(gates), jnp.asarray(h0), jnp.asarray(s0))
