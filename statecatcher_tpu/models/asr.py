@@ -51,9 +51,9 @@ class ASRModel(nn.Module):
             if lcfg.variant == "native":
                 from statecatcher_tpu.models.lucyrnn_native import LucyNativeEncoder
 
-                # The fused-cell impl is 7-gate-specific; fall back to the
-                # Pallas scan kernel for the native variant.
-                if lcfg.kernel_impl in ("pallas-fused", "auto-fused"):
+                # The fused/dual-cell impls are 7-gate-specific; fall back
+                # to the Pallas scan kernel for the native variant.
+                if lcfg.kernel_impl in ("pallas-fused", "auto-fused", "pallas-dual"):
                     lcfg = dataclasses.replace(lcfg, kernel_impl="pallas")
                 return LucyNativeEncoder(
                     input_dim=enc_in, vocab_size=cfg.vocab_size, cfg=lcfg,

@@ -47,13 +47,20 @@ _EPS = 1e-6
 
 
 def lucy_cell_parallel(
-    gates: jnp.ndarray,      # (B, T, 7, D) raw gate pre-activations
+    gates: jnp.ndarray,      # (B, T, 7, D) or lane-major (B, T, 7·D)
     h0: jnp.ndarray,         # (B, D)
     s0: jnp.ndarray,         # (B, D)
     impl: str = "assoc",
     frame_mask: Optional[jnp.ndarray] = None,  # (B, T) bool, optional
+    bias: Optional[jnp.ndarray] = None,        # (7·D,) gate bias, optional
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the 7-gate cell over a whole segment.  Returns (h_all, h_T, s_T).
+
+    The gate math (grouped RMS normalization, reference
+    lucyrnn_triton.py:214-226) lives in ops/lucy_pallas.py:lucy_gate_coeffs;
+    prefer the lane-major (B, T, 7·D) gate layout + ``bias`` — the 4D layout
+    costs a retiling pass on TPU and the pre-applied bias another (see the
+    coeffs docstring).
 
     With ``frame_mask`` given, masked steps leave (h, s) unchanged — realized
     by forcing the scan coefficients to the identity map (a=1, b=0), which
@@ -61,67 +68,38 @@ def lucy_cell_parallel(
     masks here; pass None for parity.)
 
     ``impl`` selects the recurrence implementation:
+      * "pallas" — XLA gate math + Pallas scan kernels (fastest measured)
+      * "pallas-dual" — XLA gate math + ONE kernel for s-scan → tanh → h-scan
       * "pallas-fused" — ONE Pallas kernel for gate math + both scans
-        (ops/lucy_pallas.py:lucy_fused_cell; lowest HBM traffic)
-      * "pallas" — XLA gate math + Pallas scan kernels
       * "assoc"/"chunked"/"xla-scan" — XLA-only scan variants (ops/scan.py)
     """
+    from statecatcher_tpu.ops.lucy_pallas import lucy_gate_coeffs
+
     if impl in ("pallas-fused", "auto-fused"):
         from statecatcher_tpu.ops.lucy_pallas import lucy_fused_cell
 
+        if gates.ndim == 3:
+            B, T, G = gates.shape
+            gates = gates.reshape(B, T, 7, G // 7)
+        if bias is not None:
+            gates = gates + bias.reshape(7, -1).astype(gates.dtype)
         h_all, s_all = lucy_fused_cell(gates, h0, s0, frame_mask)
         return h_all, h_all[:, -1, :], s_all[:, -1, :]
 
+    a_s, b_s, a_h, bh_c, h_pre_n = lucy_gate_coeffs(gates, frame_mask, bias)
+
     if impl == "pallas-dual":
-        # Gate normalization in XLA (fuses into the gate matmul epilogue),
-        # then ONE kernel for the s-scan → tanh → h-scan chain
+        # s-scan → tanh → h-scan chain in ONE kernel
         # (ops/lucy_pallas.py:lucy_dual_scan).  The h-scan offset is derived
         # in-kernel as (1 − a_h)·c — identical under masking, where a_h = 1.
-        from statecatcher_tpu.ops.lucy_pallas import (
-            lucy_dual_scan,
-            lucy_gate_coeffs,
-        )
+        from statecatcher_tpu.ops.lucy_pallas import lucy_dual_scan
 
-        a_s, b_s, a_h, _, h_pre_n = lucy_gate_coeffs(gates, frame_mask)
         h_all, s_all = lucy_dual_scan(a_s, b_s, a_h, h_pre_n, h0, s0)
         return h_all, h_all[:, -1, :], s_all[:, -1, :]
 
-    r, z, k, v, h_pre, decay, alpha = [
-        gates[:, :, i, :] for i in range(7)
-    ]
-    del r  # computed by the reference cell but unused in the recurrence
-    # Grouped RMS normalization (elementwise, reference lucyrnn_triton.py:214-226)
-    rms_rz = jnp.sqrt((jnp.square(gates[:, :, 0, :]) + jnp.square(z)) / 2 + _EPS)
-    rms_kv2 = (jnp.square(k) + jnp.square(v)) / 2 + _EPS
-    rms_kv = jnp.sqrt(rms_kv2)
-    rms_d = jnp.sqrt(jnp.square(decay) + _EPS)
-    rms_a = jnp.sqrt(jnp.square(alpha) + _EPS)
-    rms_h = jnp.sqrt(jnp.square(h_pre) + _EPS)
-
-    z_n = jax.nn.sigmoid(z / rms_rz)
-    decay_n = jax.nn.sigmoid(decay / rms_d)
-    alpha_n = jax.nn.sigmoid(alpha / rms_a)
-    h_pre_n = h_pre / rms_h
-    # Bounded kv update (reference lucyrnn_triton.py:235): normalized k,v then
-    # a further division by (rms² + ε)
-    kv = (k / rms_kv) * (v / rms_kv) / (rms_kv2 + _EPS)
-
-    a_s = decay_n
-    b_s = alpha_n * kv
-    if frame_mask is not None:
-        m = frame_mask[..., None].astype(a_s.dtype)
-        a_s = m * a_s + (1.0 - m)     # identity map on masked steps
-        b_s = m * b_s
     s_all = linear_scan(a_s, b_s, s0, impl=impl)
-
     c = jnp.tanh(h_pre_n + s_all)
-    a_h = z_n
-    b_h = (1.0 - z_n) * c
-    if frame_mask is not None:
-        m = frame_mask[..., None].astype(a_h.dtype)
-        a_h = m * a_h + (1.0 - m)
-        b_h = m * b_h
-    h_all = linear_scan(a_h, b_h, h0, impl=impl)
+    h_all = linear_scan(a_h, bh_c * c, h0, impl=impl)
 
     return h_all, h_all[:, -1, :], s_all[:, -1, :]
 
@@ -138,6 +116,34 @@ def _gate_bias_init(key, shape, dtype=jnp.float32):
     return vals.astype(dtype)
 
 
+class GateProj(nn.Module):
+    """Fused gate projection that returns the bias UNAPPLIED.
+
+    Param tree is identical to ``nn.Dense`` ({kernel, bias} under this
+    module's name), but the (B, T, 7D) matmul output is returned raw and the
+    bias separately: adding the bias here would materialize an extra
+    (B, T, 7D) HBM round-trip (measured 1.1 ms/layer/segment at flagship
+    shapes — XLA does not fuse the broadcast add into the matmul epilogue);
+    folded into the gate-coeff elementwise pass it is free.
+    """
+
+    features: int
+    bias_init: Any
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_uniform(),
+            (x.shape[-1], self.features), self.param_dtype,
+        )
+        bias = self.param("bias", self.bias_init, (self.features,),
+                          self.param_dtype)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y, bias
+
+
 class LucyCell(nn.Module):
     """One LucyRNN layer: fused 7-gate projection + parallel recurrence."""
 
@@ -150,18 +156,18 @@ class LucyCell(nn.Module):
     def __call__(self, x, h0, s0, frame_mask=None):
         B, T, _ = x.shape
         D = self.hidden_dim
-        gates = nn.Dense(
+        # Lane-major (B, T, 7D) gates: no (B,T,7,D) retiling, bias applied
+        # inside the coeff pass (see GateProj/lucy_gate_coeffs docstrings).
+        gates, bias = GateProj(
             7 * D,
-            kernel_init=nn.initializers.xavier_uniform(),
             bias_init=_gate_bias_init,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="gate_proj",
         )(x)
-        gates = gates.reshape(B, T, 7, D)
         return lucy_cell_parallel(
             gates, h0.astype(gates.dtype), s0.astype(gates.dtype),
-            impl=self.kernel_impl, frame_mask=frame_mask,
+            impl=self.kernel_impl, frame_mask=frame_mask, bias=bias,
         )
 
 

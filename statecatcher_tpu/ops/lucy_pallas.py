@@ -105,6 +105,89 @@ def _linear_scan_pallas_fwd_impl(a, b, s0, chunk: int = 256):
     return out[:, :T, :D]
 
 
+def _rev_scan_kernel(C: int, BD: int):
+    """Adjoint scan  λ_t = g_t + a_{t+1}·λ_{t+1}  — time chunks visited in
+    REVERSE grid order (index maps below), suffix composition within the
+    chunk, so no jnp.flip HBM passes are needed (measured ~2 ms/layer/segment
+    at flagship shapes).  The one-step shift of ``a`` is an in-register roll;
+    the chunk-boundary element comes from the previously processed (later in
+    time) chunk via scratch."""
+
+    def kernel(a_ref, g_ref, out_ref, carry_ref, anext_ref):
+        it = pl.program_id(2)
+
+        @pl.when(it == 0)
+        def _():
+            carry_ref[:] = jnp.zeros_like(carry_ref)
+            anext_ref[:] = jnp.ones_like(anext_ref)
+
+        a = a_ref[0].astype(jnp.float32)           # (C, BD)
+        g = g_ref[0].astype(jnp.float32)
+
+        # A'[t] = a[t+1] within the chunk; row C−1 takes the first row of
+        # the later chunk (saved in scratch).
+        a_up = pltpu.roll(a, C - 1, 0)             # row t ← a[t+1] (circular)
+        row = jax.lax.broadcasted_iota(jnp.int32, (C, BD), 0)
+        A = jnp.where(row == C - 1, anext_ref[0:1, :], a_up)
+        anext_ref[:] = jnp.broadcast_to(a[0:1, :], anext_ref.shape)
+
+        # Suffix Hillis-Steele: S_t = M_t ∘ M_{t+1} ∘ … (info flows DOWN).
+        Bv = g
+        k = 1
+        while k < C:
+            a_sh = pltpu.roll(A, C - k, 0)          # shift by −k
+            b_sh = pltpu.roll(Bv, C - k, 0)
+            valid = row < C - k
+            a_sh = jnp.where(valid, a_sh, 1.0)
+            b_sh = jnp.where(valid, b_sh, 0.0)
+            Bv = A * b_sh + Bv
+            A = A * a_sh
+            k *= 2
+
+        lam = Bv + A * carry_ref[0:1, :]
+        out_ref[0] = lam.astype(out_ref.dtype)
+        carry_ref[:] = jnp.broadcast_to(lam[0:1, :], carry_ref.shape)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _linear_scan_pallas_rev_impl(a, g, chunk: int = 256):
+    """All adjoints  λ_t = g_t + a_{t+1}·λ_{t+1}  (λ beyond T−1 = 0)."""
+    B, T, D = a.shape
+    C = min(chunk, max(8, T))
+    pad_t = (-T) % C
+    pad_d = (-D) % _LANE
+    if pad_t or pad_d:
+        # pad rows are identity maps (a=1, g=0): λ stays 0 through them
+        a = jnp.pad(a, ((0, 0), (0, pad_t), (0, pad_d)), constant_values=1.0)
+        g = jnp.pad(g, ((0, 0), (0, pad_t), (0, pad_d)))
+    Tp, Dp = T + pad_t, D + pad_d
+    BD = _LANE
+    nchunks = Tp // C
+    grid = (B, Dp // BD, nchunks)
+
+    rev_spec = pl.BlockSpec(
+        (1, C, BD), lambda ib, id_, it, n=nchunks: (ib, n - 1 - it, id_),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        _rev_scan_kernel(C, BD),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, Dp), a.dtype),
+        grid=grid,
+        in_specs=[rev_spec, rev_spec],
+        out_specs=rev_spec,
+        scratch_shapes=[
+            pltpu.VMEM((8, BD), jnp.float32),
+            pltpu.VMEM((8, BD), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(a, g)
+    return out[:, :T, :D]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def linear_scan_pallas(a, b, s0):
     """s_t = a_t · s_{t-1} + b_t over axis 1, fused TPU kernel, full VJP."""
@@ -118,16 +201,7 @@ def _fwd(a, b, s0):
 
 def _bwd(res, g):
     a, s, s0 = res
-    B, T, D = a.shape
-    # λ_t = g_t + a_{t+1} · λ_{t+1}  — reverse scan ≡ forward scan on flipped
-    # arrays with the coefficient sequence shifted by one.
-    a_rev = jnp.flip(a, axis=1)
-    a_shift = jnp.concatenate([jnp.ones((B, 1, D), a.dtype), a_rev[:, :-1]], axis=1)
-    g_rev = jnp.flip(g, axis=1)
-    lam_rev = _linear_scan_pallas_fwd_impl(
-        a_shift, g_rev, jnp.zeros_like(s0)
-    )
-    lam = jnp.flip(lam_rev, axis=1)
+    lam = _linear_scan_pallas_rev_impl(a, g)
     # s_{t-1} with s_0 = s0 prepended
     s_prev = jnp.concatenate([s0[:, None, :], s[:, :-1]], axis=1)
     da = lam * s_prev
@@ -157,20 +231,35 @@ linear_scan_pallas.defvjp(_fwd, _bwd)
 _EPS = 1e-6
 
 
-def lucy_gate_coeffs(gates, frame_mask=None):
-    """Raw gates (B, T, 7, D) → scan coefficients (a_s, b_s, a_h, bh_c, h_pre_n).
+def lucy_gate_coeffs(gates, frame_mask=None, bias=None):
+    """Raw gates → scan coefficients (a_s, b_s, a_h, bh_c, h_pre_n).
 
-    Same math as models/lucyrnn.py:lucy_cell_parallel up to the scans;
+    ``gates`` is either (B, T, 7, D) or the lane-major (B, T, 7·D) layout —
+    the latter avoids the (B,T,7D)→(B,T,7,D) retiling pass on TPU (the 7 on
+    the sublane axis pads to 8 and forces real data movement; lane-dim
+    slices at D-multiples are free).  ``bias`` is an optional (7·D,) gate
+    bias added here instead of in the projection so the add fuses into this
+    elementwise pass rather than materializing a (B,T,7D) round-trip.
     ``bh_c`` is (1 − z_n) (the h-scan's b is (1 − z_n)·c with c computed
     from the s-scan output).
     """
-    r = gates[:, :, 0, :]
-    z = gates[:, :, 1, :]
-    k = gates[:, :, 2, :]
-    v = gates[:, :, 3, :]
-    h_pre = gates[:, :, 4, :]
-    decay = gates[:, :, 5, :]
-    alpha = gates[:, :, 6, :]
+    if gates.ndim == 4:
+        D = gates.shape[-1]
+        def _gate(i):
+            x = gates[:, :, i, :]
+            if bias is not None:
+                x = x + jax.lax.slice_in_dim(bias, i * D, (i + 1) * D, axis=0
+                                             ).astype(x.dtype)
+            return x
+    else:
+        D = gates.shape[-1] // 7
+        def _gate(i):
+            x = jax.lax.slice_in_dim(gates, i * D, (i + 1) * D, axis=2)
+            if bias is not None:
+                x = x + jax.lax.slice_in_dim(bias, i * D, (i + 1) * D, axis=0
+                                             ).astype(x.dtype)
+            return x
+    r, z, k, v, h_pre, decay, alpha = (_gate(i) for i in range(7))
     rms_rz = jnp.sqrt((jnp.square(r) + jnp.square(z)) / 2 + _EPS)
     rms_kv2 = (jnp.square(k) + jnp.square(v)) / 2 + _EPS
     rms_kv = jnp.sqrt(rms_kv2)
@@ -351,7 +440,6 @@ def _fused_bwd(res, cotangents):
     g_h, g_s = cotangents
     g_h = g_h.astype(jnp.float32)
     g_s = g_s.astype(jnp.float32)
-    B, T, _, D = gates.shape
 
     # Recompute the elementwise chain (and capture its VJP) in XLA.
     (a_s, b_s, a_h, bh_c, h_pre_n), elem_vjp = jax.vjp(
@@ -367,18 +455,8 @@ def _fused_bwd(res, cotangents):
     )
     c = jnp.tanh(h_pre_n + s_all.astype(jnp.float32))
 
-    def reverse_scan(a, g):
-        a_rev = jnp.flip(a, axis=1)
-        a_shift = jnp.concatenate(
-            [jnp.ones((B, 1, D), a.dtype), a_rev[:, :-1]], axis=1
-        )
-        lam_rev = _linear_scan_pallas_fwd_impl(
-            a_shift, jnp.flip(g, axis=1), jnp.zeros((B, D), a.dtype)
-        )
-        return jnp.flip(lam_rev, axis=1)
-
     # h-recurrence adjoint: h_t = a_h·h_{t-1} + bh_c·c_t
-    lam_h = reverse_scan(a_h, g_h)
+    lam_h = _linear_scan_pallas_rev_impl(a_h, g_h)
     d_a_h = lam_h * h_prev
     d_bhc = lam_h * c
     d_c = lam_h * bh_c
@@ -389,7 +467,7 @@ def _fused_bwd(res, cotangents):
     d_h_pre_n = d_pre_s
 
     # s-recurrence adjoint (external g_s + internal path through c)
-    lam_s = reverse_scan(a_s, g_s + d_pre_s)
+    lam_s = _linear_scan_pallas_rev_impl(a_s, g_s + d_pre_s)
     d_a_s = lam_s * s_prev
     d_b_s = lam_s
     ds0 = lam_s[:, 0] * a_s[:, 0]
@@ -507,7 +585,6 @@ def _dual_bwd(res, cotangents):
     g_h, g_s = cotangents
     g_h = g_h.astype(jnp.float32)
     g_s = g_s.astype(jnp.float32)
-    B, T, D = a_s.shape
     a_s32 = a_s.astype(jnp.float32)
     a_h32 = a_h.astype(jnp.float32)
     s32 = s_all.astype(jnp.float32)
@@ -520,18 +597,8 @@ def _dual_bwd(res, cotangents):
     )
     c = jnp.tanh(h_pre.astype(jnp.float32) + s32)
 
-    def reverse_scan(a, g):
-        a_rev = jnp.flip(a, axis=1)
-        a_shift = jnp.concatenate(
-            [jnp.ones((B, 1, D), a.dtype), a_rev[:, :-1]], axis=1
-        )
-        lam_rev = _linear_scan_pallas_fwd_impl(
-            a_shift, jnp.flip(g, axis=1), jnp.zeros((B, D), a.dtype)
-        )
-        return jnp.flip(lam_rev, axis=1)
-
     # h-recurrence adjoint: h_t = a_h·h_{t-1} + (1 − a_h)·c_t
-    lam_h = reverse_scan(a_h32, g_h)
+    lam_h = _linear_scan_pallas_rev_impl(a_h32, g_h)
     d_a_h = lam_h * (h_prev - c)
     d_c = lam_h * (1.0 - a_h32)
     dh0 = lam_h[:, 0] * a_h32[:, 0]
@@ -540,7 +607,7 @@ def _dual_bwd(res, cotangents):
     d_pre = d_c * (1.0 - jnp.square(c))
 
     # s-recurrence adjoint (external g_s + internal path through c)
-    lam_s = reverse_scan(a_s32, g_s + d_pre)
+    lam_s = _linear_scan_pallas_rev_impl(a_s32, g_s + d_pre)
     d_a_s = lam_s * s_prev
     ds0 = lam_s[:, 0] * a_s32[:, 0]
 

@@ -43,7 +43,10 @@ def capture(trace_dir: str):
     S = int(sr * seconds)
     model = build_speech_model(cfg.model, 80, mode)
     state = init_train_state(model, cfg, jax.random.PRNGKey(0), 80, 64)
-    step = make_segment_scan_step(model, cfg, blank_id=0)
+    step = make_segment_scan_step(
+        model, cfg, blank_id=0,
+        ctc_impl=os.environ.get("BENCH_CTC", "auto"),
+    )
     rng = np.random.default_rng(0)
     audio = jnp.asarray(rng.uniform(-0.3, 0.3, (K, B, S)).astype(np.float32))
     mask = jnp.ones((K, B, S), jnp.bool_)
