@@ -32,8 +32,13 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 
 
-def _scan_kernel(C: int, BD: int):
-    """Kernel body for one (b, d-block, t-chunk) step."""
+def _scan_kernel(C: int, BD: int, T: int):
+    """Kernel body for one (b, d-block, t-chunk) step.
+
+    ``T`` is the true (unpadded) time length: rows of the ragged tail chunk
+    beyond it are forced to the identity map (a=1, b=0) in-register, so the
+    caller never materializes a padded copy of the inputs (Mosaic pads edge
+    blocks; the garbage is masked before use, and OOB writes are dropped)."""
 
     def kernel(s0_ref, a_ref, b_ref, out_ref, carry_ref):
         it = pl.program_id(2)
@@ -44,6 +49,10 @@ def _scan_kernel(C: int, BD: int):
 
         A = a_ref[0].astype(jnp.float32)          # (C, BD)
         Bv = b_ref[0].astype(jnp.float32)         # (C, BD)
+        if T % C:
+            grow = it * C + jax.lax.broadcasted_iota(jnp.int32, (C, BD), 0)
+            A = jnp.where(grow < T, A, 1.0)
+            Bv = jnp.where(grow < T, Bv, 0.0)
 
         # Hillis-Steele inclusive composition over the C rows.
         k = 1
@@ -70,22 +79,23 @@ def _scan_kernel(C: int, BD: int):
 def _linear_scan_pallas_fwd_impl(a, b, s0, chunk: int = 256):
     B, T, D = a.shape
     C = min(chunk, max(8, T))
-    pad_t = (-T) % C
     pad_d = (-D) % _LANE
-    if pad_t or pad_d:
-        a = jnp.pad(a, ((0, 0), (0, pad_t), (0, pad_d)), constant_values=1.0)
-        b = jnp.pad(b, ((0, 0), (0, pad_t), (0, pad_d)))
+    if pad_d:
+        # Lane padding is rare (D is a multiple of 128 in every shipped
+        # config); the ragged TIME tail is handled in-kernel with no copy.
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, pad_d)), constant_values=1.0)
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, pad_d)))
         s0 = jnp.pad(s0, ((0, 0), (0, pad_d)))
-    Tp, Dp = T + pad_t, D + pad_d
+    Dp = D + pad_d
     BD = _LANE
-    grid = (B, Dp // BD, Tp // C)
+    grid = (B, Dp // BD, -(-T // C))
 
     # s0 as (B, 8, D): sublane-aligned block for the carry initialization.
     s0_tiled = jnp.broadcast_to(s0[:, None, :], (B, 8, Dp))
 
     out = pl.pallas_call(
-        _scan_kernel(C, BD),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, Dp), a.dtype),
+        _scan_kernel(C, BD, T),
+        out_shape=jax.ShapeDtypeStruct((B, T, Dp), a.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8, BD), lambda ib, id_, it: (ib, 0, id_),
@@ -102,16 +112,20 @@ def _linear_scan_pallas_fwd_impl(a, b, s0, chunk: int = 256):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(s0_tiled, a, b)
-    return out[:, :T, :D]
+    return out[:, :, :D] if pad_d else out
 
 
-def _rev_scan_kernel(C: int, BD: int):
+def _rev_scan_kernel(C: int, BD: int, T: int, nchunks: int):
     """Adjoint scan  λ_t = g_t + a_{t+1}·λ_{t+1}  — time chunks visited in
     REVERSE grid order (index maps below), suffix composition within the
     chunk, so no jnp.flip HBM passes are needed (measured ~2 ms/layer/segment
     at flagship shapes).  The one-step shift of ``a`` is an in-register roll;
     the chunk-boundary element comes from the previously processed (later in
-    time) chunk via scratch."""
+    time) chunk via scratch.
+
+    Ragged tail rows (global index ≥ T — only in the chunk processed at
+    it=0) are masked to identity maps (a=1, g=0) before the shift, so λ
+    stays 0 through them and no padded input copy is needed."""
 
     def kernel(a_ref, g_ref, out_ref, carry_ref, anext_ref):
         it = pl.program_id(2)
@@ -123,6 +137,11 @@ def _rev_scan_kernel(C: int, BD: int):
 
         a = a_ref[0].astype(jnp.float32)           # (C, BD)
         g = g_ref[0].astype(jnp.float32)
+        if T % C:
+            grow = (nchunks - 1 - it) * C + jax.lax.broadcasted_iota(
+                jnp.int32, (C, BD), 0)
+            a = jnp.where(grow < T, a, 1.0)
+            g = jnp.where(grow < T, g, 0.0)
 
         # A'[t] = a[t+1] within the chunk; row C−1 takes the first row of
         # the later chunk (saved in scratch).
@@ -156,15 +175,13 @@ def _linear_scan_pallas_rev_impl(a, g, chunk: int = 256):
     """All adjoints  λ_t = g_t + a_{t+1}·λ_{t+1}  (λ beyond T−1 = 0)."""
     B, T, D = a.shape
     C = min(chunk, max(8, T))
-    pad_t = (-T) % C
     pad_d = (-D) % _LANE
-    if pad_t or pad_d:
-        # pad rows are identity maps (a=1, g=0): λ stays 0 through them
-        a = jnp.pad(a, ((0, 0), (0, pad_t), (0, pad_d)), constant_values=1.0)
-        g = jnp.pad(g, ((0, 0), (0, pad_t), (0, pad_d)))
-    Tp, Dp = T + pad_t, D + pad_d
+    if pad_d:
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, pad_d)), constant_values=1.0)
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_d)))
+    Dp = D + pad_d
     BD = _LANE
-    nchunks = Tp // C
+    nchunks = -(-T // C)
     grid = (B, Dp // BD, nchunks)
 
     rev_spec = pl.BlockSpec(
@@ -172,8 +189,8 @@ def _linear_scan_pallas_rev_impl(a, g, chunk: int = 256):
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        _rev_scan_kernel(C, BD),
-        out_shape=jax.ShapeDtypeStruct((B, Tp, Dp), a.dtype),
+        _rev_scan_kernel(C, BD, T, nchunks),
+        out_shape=jax.ShapeDtypeStruct((B, T, Dp), a.dtype),
         grid=grid,
         in_specs=[rev_spec, rev_spec],
         out_specs=rev_spec,
@@ -185,7 +202,7 @@ def _linear_scan_pallas_rev_impl(a, g, chunk: int = 256):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(a, g)
-    return out[:, :T, :D]
+    return out[:, :, :D] if pad_d else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -299,7 +316,7 @@ def _hillis_steele(A, Bv, C):
     return A, Bv
 
 
-def _fused_cell_kernel(C, BD, masked: bool):
+def _fused_cell_kernel(C, BD, masked: bool, T: int):
     def kernel(*refs):
         if masked:
             (h0_ref, s0_ref, gates_ref, mask_ref,
@@ -342,10 +359,23 @@ def _fused_cell_kernel(C, BD, masked: bool):
             a_h = m * a_h + (1.0 - m)
             bh_c = m * bh_c
 
+        if T % C:
+            # Ragged tail: rows ≥ T hold Mosaic edge-pad garbage — force
+            # them to identity maps before the scans.
+            valid = (it * C + jax.lax.broadcasted_iota(
+                jnp.int32, (C, BD), 0)) < T
+            a_s = jnp.where(valid, a_s, 1.0)
+            b_s = jnp.where(valid, b_s, 0.0)
+            a_h = jnp.where(valid, a_h, 1.0)
+
         As, Bs = _hillis_steele(a_s, b_s, C)
         s = Bs + As * sc_ref[0:1, :]
         c = jnp.tanh(h_pre_n + s)
-        Ah, Bh = _hillis_steele(a_h, bh_c * c, C)
+        b_h = bh_c * c
+        if T % C:
+            # mask the PRODUCT: c is NaN-prone on garbage rows (0·NaN = NaN)
+            b_h = jnp.where(valid, b_h, 0.0)
+        Ah, Bh = _hillis_steele(a_h, b_h, C)
         h = Bh + Ah * hc_ref[0:1, :]
 
         h_out_ref[0] = h.astype(h_out_ref.dtype)
@@ -361,18 +391,15 @@ def _fused_cell_fwd_impl(gates, h0, s0, frame_mask, chunk: int = 256):
     B, T, G, D = gates.shape
     assert G == 7
     C = min(chunk, max(8, T))
-    pad_t = (-T) % C
     pad_d = (-D) % _LANE
     masked = frame_mask is not None
-    if pad_t or pad_d:
-        gates = jnp.pad(gates, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
+    if pad_d:
+        gates = jnp.pad(gates, ((0, 0), (0, 0), (0, 0), (0, pad_d)))
         h0 = jnp.pad(h0, ((0, 0), (0, pad_d)))
         s0 = jnp.pad(s0, ((0, 0), (0, pad_d)))
-        if masked:
-            frame_mask = jnp.pad(frame_mask, ((0, 0), (0, pad_t)))
-    Tp, Dp = T + pad_t, D + pad_d
+    Dp = D + pad_d
     BD = _LANE
-    grid = (B, Dp // BD, Tp // C)
+    grid = (B, Dp // BD, -(-T // C))
     h0_t = jnp.broadcast_to(h0[:, None, :], (B, 8, Dp))
     s0_t = jnp.broadcast_to(s0[:, None, :], (B, 8, Dp))
     # (B, 7, T, D): each gate's time-chunk is a contiguous aligned (C, BD)
@@ -391,7 +418,7 @@ def _fused_cell_fwd_impl(gates, h0, s0, frame_mask, chunk: int = 256):
     args = [h0_t, s0_t, gates_b7td]
     if masked:
         mask_f = jnp.broadcast_to(
-            frame_mask[:, :, None].astype(gates.dtype), (B, Tp, Dp)
+            frame_mask[:, :, None].astype(gates.dtype), (B, T, Dp)
         )
         in_specs.append(
             pl.BlockSpec((1, C, BD), lambda ib, id_, it: (ib, it, id_),
@@ -400,10 +427,10 @@ def _fused_cell_fwd_impl(gates, h0, s0, frame_mask, chunk: int = 256):
         args.append(mask_f)
 
     h_all, s_all = pl.pallas_call(
-        _fused_cell_kernel(C, BD, masked),
+        _fused_cell_kernel(C, BD, masked, T),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Tp, Dp), gates.dtype),
-            jax.ShapeDtypeStruct((B, Tp, Dp), gates.dtype),
+            jax.ShapeDtypeStruct((B, T, Dp), gates.dtype),
+            jax.ShapeDtypeStruct((B, T, Dp), gates.dtype),
         ),
         grid=grid,
         in_specs=in_specs,
@@ -421,7 +448,9 @@ def _fused_cell_fwd_impl(gates, h0, s0, frame_mask, chunk: int = 256):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(*args)
-    return h_all[:, :T, :D], s_all[:, :T, :D]
+    if pad_d:
+        return h_all[:, :, :D], s_all[:, :, :D]
+    return h_all, s_all
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -495,7 +524,7 @@ lucy_fused_cell.defvjp(_fused_fwd, _fused_bwd)
 # =========================================================================== #
 
 
-def _dual_scan_kernel(C: int, BD: int):
+def _dual_scan_kernel(C: int, BD: int, T: int):
     def kernel(h0_ref, s0_ref, as_ref, bs_ref, ah_ref, hp_ref,
                h_out_ref, s_out_ref, hc_ref, sc_ref):
         it = pl.program_id(2)
@@ -509,11 +538,22 @@ def _dual_scan_kernel(C: int, BD: int):
         b_s = bs_ref[0].astype(jnp.float32)
         a_h = ah_ref[0].astype(jnp.float32)
         h_pre = hp_ref[0].astype(jnp.float32)
+        if T % C:
+            # Ragged tail rows: identity maps (no padded input copy).
+            valid = (it * C + jax.lax.broadcasted_iota(
+                jnp.int32, (C, BD), 0)) < T
+            a_s = jnp.where(valid, a_s, 1.0)
+            b_s = jnp.where(valid, b_s, 0.0)
+            a_h = jnp.where(valid, a_h, 1.0)
 
         As, Bs = _hillis_steele(a_s, b_s, C)
         s = Bs + As * sc_ref[0:1, :]
         c = jnp.tanh(h_pre + s)
-        Ah, Bh = _hillis_steele(a_h, (1.0 - a_h) * c, C)
+        b_h = (1.0 - a_h) * c
+        if T % C:
+            # mask the PRODUCT: c is NaN-prone on garbage rows (0·NaN = NaN)
+            b_h = jnp.where(valid, b_h, 0.0)
+        Ah, Bh = _hillis_steele(a_h, b_h, C)
         h = Bh + Ah * hc_ref[0:1, :]
 
         h_out_ref[0] = h.astype(h_out_ref.dtype)
@@ -528,20 +568,18 @@ def _dual_scan_kernel(C: int, BD: int):
 def _dual_scan_fwd_impl(a_s, b_s, a_h, h_pre, h0, s0, chunk: int = 256):
     B, T, D = a_s.shape
     C = min(chunk, max(8, T))
-    pad_t = (-T) % C
     pad_d = (-D) % _LANE
-    if pad_t or pad_d:
-        pad3 = ((0, 0), (0, pad_t), (0, pad_d))
-        # identity steps in the pad: a=1, b-parts 0
+    if pad_d:
+        pad3 = ((0, 0), (0, 0), (0, pad_d))
         a_s = jnp.pad(a_s, pad3, constant_values=1.0)
         b_s = jnp.pad(b_s, pad3)
         a_h = jnp.pad(a_h, pad3, constant_values=1.0)
         h_pre = jnp.pad(h_pre, pad3)
         h0 = jnp.pad(h0, ((0, 0), (0, pad_d)))
         s0 = jnp.pad(s0, ((0, 0), (0, pad_d)))
-    Tp, Dp = T + pad_t, D + pad_d
+    Dp = D + pad_d
     BD = _LANE
-    grid = (B, Dp // BD, Tp // C)
+    grid = (B, Dp // BD, -(-T // C))
     h0_t = jnp.broadcast_to(h0[:, None, :], (B, 8, Dp))
     s0_t = jnp.broadcast_to(s0[:, None, :], (B, 8, Dp))
 
@@ -550,10 +588,10 @@ def _dual_scan_fwd_impl(a_s, b_s, a_h, h_pre, h0, s0, chunk: int = 256):
     init = pl.BlockSpec((1, 8, BD), lambda ib, id_, it: (ib, 0, id_),
                         memory_space=pltpu.VMEM)
     h_all, s_all = pl.pallas_call(
-        _dual_scan_kernel(C, BD),
+        _dual_scan_kernel(C, BD, T),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Tp, Dp), a_s.dtype),
-            jax.ShapeDtypeStruct((B, Tp, Dp), a_s.dtype),
+            jax.ShapeDtypeStruct((B, T, Dp), a_s.dtype),
+            jax.ShapeDtypeStruct((B, T, Dp), a_s.dtype),
         ),
         grid=grid,
         in_specs=[init, init, plane, plane, plane, plane],
@@ -566,7 +604,9 @@ def _dual_scan_fwd_impl(a_s, b_s, a_h, h_pre, h0, s0, chunk: int = 256):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
     )(h0_t, s0_t, a_s, b_s, a_h, h_pre)
-    return h_all[:, :T, :D], s_all[:, :T, :D]
+    if pad_d:
+        return h_all[:, :, :D], s_all[:, :, :D]
+    return h_all, s_all
 
 
 @jax.custom_vjp

@@ -62,6 +62,28 @@ def test_pallas_scan_grad_matches_seq(rng):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-3)
 
 
+def test_pallas_scan_grad_ragged_tail(rng):
+    """T > chunk and T % chunk != 0: the ragged tail chunk is masked
+    in-kernel (no padded input copy) in BOTH the forward and the
+    reverse-adjoint kernels."""
+    B, T, D = 1, 300, 128
+    a = rng.uniform(0.3, 0.95, (B, T, D)).astype(np.float32)
+    b = rng.standard_normal((B, T, D)).astype(np.float32)
+    s0 = rng.standard_normal((B, D)).astype(np.float32)
+    w = rng.standard_normal((B, T, D)).astype(np.float32)
+
+    def loss(scan):
+        return lambda a_, b_, s0_: jnp.sum(scan(a_, b_, s0_) * w)
+
+    gp = _run(jax.grad(loss(_pallas_scan), argnums=(0, 1, 2)),
+              jnp.asarray(a), jnp.asarray(b), jnp.asarray(s0))
+    gs = jax.grad(loss(linear_scan_seq), argnums=(0, 1, 2))(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(s0))
+    for x, y in zip(gp, gs):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_pallas_scan_bf16_inputs(rng):
     B, T, D = 2, 32, 128
     a = rng.uniform(0.5, 1.0, (B, T, D)).astype(np.float32)
@@ -76,10 +98,11 @@ def test_pallas_scan_bf16_inputs(rng):
 
 
 @pytest.mark.parametrize("impl", ["pallas-fused", "pallas-dual"])
-def test_fused_cell_matches_unfused(rng, impl):
+@pytest.mark.parametrize("T", [40, 300])  # 300 > chunk: ragged tail path
+def test_fused_cell_matches_unfused(rng, impl, T):
     from statecatcher_tpu.models.lucyrnn import lucy_cell_parallel
 
-    B, T, D = 2, 40, 128
+    B, D = 2, 128
     gates = rng.standard_normal((B, T, 7, D)).astype(np.float32)
     h0 = rng.standard_normal((B, D)).astype(np.float32)
     s0 = rng.standard_normal((B, D)).astype(np.float32)
