@@ -197,7 +197,6 @@ class MeshConfig:
     # configured with model.lucyrnn.kernel_impl="sp" (ops/scan_sp.py): the
     # segment's time axis shards over this axis inside the recurrence.
     sequence_axis: str = "model"
-    force_num_cpu_devices: int = 0   # >0: test mode with virtual CPU devices
 
 
 @dataclass(frozen=True)

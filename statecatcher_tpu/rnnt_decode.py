@@ -36,15 +36,6 @@ def rnnt_decode_init(batch: int, max_out: int, blank_id: int) -> RNNTDecodeState
     )
 
 
-def pred_table_from_params(variables, dtype=jnp.float32) -> jnp.ndarray:
-    """(V, J) predictor vectors: pred_proj(embedding) for every token."""
-    p = variables["params"]["joiner"]
-    emb = p["embedding"]["embedding"].astype(dtype)            # (V, E)
-    k = p["pred_proj"]["kernel"].astype(dtype)                 # (E, J)
-    b = p["pred_proj"]["bias"].astype(dtype)                   # (J,)
-    return emb @ k + b
-
-
 @functools.partial(jax.jit, static_argnames=("blank_id", "max_symbols", "max_out"))
 def rnnt_greedy_decode(
     enc_proj: jnp.ndarray,     # (B, T, J) encoder projected to join space

@@ -7,7 +7,6 @@ import jax
 import jax.numpy as jnp
 
 from statecatcher_tpu.rnnt_decode import (
-    pred_table_from_params,
     rnnt_decode_init,
     rnnt_greedy_decode,
     rnnt_state_to_lists,
@@ -80,7 +79,7 @@ def test_pred_table_from_module(rng):
     prefix = make_prefix(labels, 0)
     pj = RNNTPredictorJoiner(vocab_size=V, enc_out_dim=V, pred_emb_dim=4, join_dim=4)
     variables = pj.init(jax.random.PRNGKey(0), enc_out, prefix)
-    table = pred_table_from_params({"params": {"joiner": variables["params"]}})
+    table, _, _ = pj.apply(variables, method=pj.decode_tables)
     # table row v equals pred_proj(embed(v))
     enc_p, pred_p, W, bias = pj.apply(variables, enc_out, prefix, method=pj.project)
     np.testing.assert_allclose(

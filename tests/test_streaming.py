@@ -81,7 +81,6 @@ def test_streaming_rnnt_mode(rng):
 
     from statecatcher_tpu.models.speech import build_speech_model
     from statecatcher_tpu.rnnt_decode import (
-        pred_table_from_params,
         rnnt_greedy_decode,
         rnnt_state_to_lists,
     )
@@ -115,12 +114,13 @@ def test_streaming_rnnt_mode(rng):
     n_frames = n_chunks * rec.chunk_frames
     enc_out, _ = model.apply(params, feats[:, :n_frames],
                              init_carry(cfg.model, 1), None, method="encode")
-    jp = params["params"]["joiner"]
-    enc_p = enc_out.astype(jnp.float32) @ jp["enc_proj"]["kernel"].astype(
-        jnp.float32) + jp["enc_proj"]["bias"].astype(jnp.float32)
+    enc_p = model.apply(params, enc_out.astype(jnp.float32),
+                        method="rnnt_project_encoder")
+    pred_table, join_kernel, join_bias = model.apply(
+        params, method="rnnt_decode_tables")
     st = rnnt_greedy_decode(
-        enc_p, pred_table_from_params(params),
-        jp["join_kernel"].astype(jnp.float32), jp["join_bias"].astype(jnp.float32),
+        enc_p, pred_table.astype(jnp.float32),
+        join_kernel.astype(jnp.float32), join_bias.astype(jnp.float32),
         jnp.asarray([n_frames]), blank_id=0,
     )
     want = rnnt_state_to_lists(st)[0]
