@@ -94,8 +94,18 @@ def build_tokenizer(cfg: Config):
     raise ValueError("train.sp_model is required for http data source")
 
 
-def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
+def train(
+    cfg: Config,
+    dataset=None,
+    max_batches: Optional[int] = None,
+    initial_params=None,
+) -> dict:
     """Run training.  Returns a summary dict (final step, losses, run_dir).
+
+    ``initial_params``: optional params pytree to start from instead of the
+    seeded init — warm starts, and the reference-in-the-loop parity harness
+    (tools/reference_parity.py), which injects weights converted from the
+    reference's torch init so both engines train the same function.
 
     Works single-process or under ``jax.distributed`` with N processes: each
     host fetches and preprocesses its own B/N rows (per-host data sessions,
@@ -155,6 +165,14 @@ def train(cfg: Config, dataset=None, max_batches: Optional[int] = None) -> dict:
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = init_train_state(model, cfg, rng, fdim, min(T, 64))
+    if initial_params is not None:
+        tree_of = jax.tree_util.tree_structure
+        if tree_of(state.params) != tree_of(initial_params):
+            raise ValueError("initial_params tree does not match the model")
+        state = state.replace(params=jax.tree.map(
+            lambda tmpl, given: jnp.asarray(given, tmpl.dtype),
+            state.params, initial_params,
+        ))
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     logger.info(
         "Model built: %s, feat_dim=%d, vocab=%d, params=%.2fM",
