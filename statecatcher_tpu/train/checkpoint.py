@@ -41,15 +41,21 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, train_state, meta: dict):
-        """Save train state + loop metadata; non-blocking (async orbax)."""
-        self._mgr.save(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardSave(train_state),
-                meta=ocp.args.JsonSave(meta),
-            ),
-        )
+    def save(self, step: int, train_state, meta: dict, carry=None):
+        """Save train state + loop metadata; non-blocking (async orbax).
+
+        ``carry`` (optional): the inter-segment encoder-state pytree.  SURVEY
+        §5 checkpoint row requires the full training session — "including
+        carry-state buffers" — so a preemption mid-recording-batch resumes
+        with the exact streamed state instead of silently re-zeroing it.
+        """
+        items = {
+            "state": ocp.args.StandardSave(train_state),
+            "meta": ocp.args.JsonSave(meta),
+        }
+        if carry is not None:
+            items["carry"] = ocp.args.StandardSave(carry)
+        self._mgr.save(step, args=ocp.args.Composite(**items))
 
     def wait(self):
         self._mgr.wait_until_finished()
@@ -57,18 +63,34 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, train_state_template, step: Optional[int] = None):
-        """Restore (train_state, meta); template provides structure/shardings."""
+    def has_carry(self, step: Optional[int] = None) -> bool:
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return False
+        return "carry" in (self._mgr.item_metadata(step) or {})
+
+    def restore(self, train_state_template, step: Optional[int] = None,
+                carry_template=None):
+        """Restore (train_state, meta[, carry]); templates provide structure
+        and shardings.
+
+        With ``carry_template`` the return is a 3-tuple whose last element is
+        the restored carry pytree, or ``None`` for checkpoints written before
+        carry saving existed (layout migration: old composites simply lack
+        the item, new readers ask only when the item is present)."""
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"No checkpoint under {self.run_dir}")
-        out = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(train_state_template),
-                meta=ocp.args.JsonRestore(),
-            ),
-        )
+        items = {
+            "state": ocp.args.StandardRestore(train_state_template),
+            "meta": ocp.args.JsonRestore(),
+        }
+        want_carry = carry_template is not None and self.has_carry(step)
+        if want_carry:
+            items["carry"] = ocp.args.StandardRestore(carry_template)
+        out = self._mgr.restore(step, args=ocp.args.Composite(**items))
+        if carry_template is not None:
+            return out["state"], out["meta"], out["carry"] if want_carry else None
         return out["state"], out["meta"]
 
     def close(self):

@@ -182,12 +182,38 @@ def train(
     ckpt = CheckpointManager(run_dir)
     start_epoch = 0
     global_step = 0
+    resume_cursor = None      # {"batches_done": N, "seg_idx": s} if mid-session
+    resume_carry = None       # carry pytree at the checkpointed boundary
+    resume_window = None      # metrics window at the checkpointed boundary
     if cfg.train.resume_from:
         prev = CheckpointManager(cfg.train.resume_from)
-        state, meta = prev.restore(state)
+        if n_proc == 1:
+            state, meta, resume_carry = prev.restore(
+                state, carry_template=model.init_state(B))
+        else:
+            # multi-host: params/opt restore everywhere; mid-batch carry
+            # re-entry is a single-host feature (the carry template has no
+            # global sharding yet at this point) — resume rounds up to the
+            # next recording batch instead.
+            state, meta = prev.restore(state)
         global_step = int(meta["global_step"])
         start_epoch = int(meta["epoch"])
-        logger.info("Resumed from %s at step %d", cfg.train.resume_from, global_step)
+        resume_cursor = meta.get("cursor")
+        resume_window = meta.get("metrics_window")
+        if n_proc > 1 and resume_cursor and resume_cursor.get("seg_idx", 0) > 0:
+            logger.warning(
+                "multi-host resume: skipping the remainder of the "
+                "checkpointed mid-flight recording batch"
+            )
+            resume_cursor = {
+                "batches_done": int(resume_cursor["batches_done"]) + 1,
+                "seg_idx": 0,
+            }
+        logger.info(
+            "Resumed from %s at step %d (cursor=%s, carry=%s)",
+            cfg.train.resume_from, global_step, resume_cursor,
+            "restored" if resume_carry is not None else "absent",
+        )
         prev.close()
 
     from statecatcher_tpu.train.step import make_segment_scan_step
@@ -260,10 +286,34 @@ def train(
     losses: list[float] = []
     window_refs: list[str] = []
     window_hyps: list[str] = []
+    if resume_window:
+        # continue the avg_loss / train-TER windows exactly where the
+        # checkpointed session left them
+        losses.extend(resume_window.get("losses", []))
+        window_refs.extend(resume_window.get("refs", []))
+        window_hyps.extend(resume_window.get("hyps", []))
     prev_epoch = None
     n_batches = 0
     stop = False
     pending = None  # deferred metrics of the in-flight dispatch
+    carry = None
+    # data-session cursor: how many recording batches this session has fully
+    # processed, and the next segment index within the in-flight batch.  Saved
+    # with every checkpoint so resume can re-enter mid-recording-batch (the
+    # session replay is exact for deterministic sources: local dirs and the
+    # fixture server; a live shuffled server resumes at the params/carry level
+    # with best-effort positioning).
+    cursor = {"batches_done": 0, "seg_idx": 0}
+    skip_batches = 0
+    resume_seg = 0
+    if resume_cursor:
+        skip_batches = int(resume_cursor.get("batches_done", 0))
+        resume_seg = int(resume_cursor.get("seg_idx", 0))
+        cursor = {"batches_done": skip_batches, "seg_idx": resume_seg}
+    # total completed batches since SESSION start (includes replayed ones, so
+    # cursors chain across repeated resumes); n_batches counts only this
+    # process run (max_batches semantics unchanged)
+    batches_done_total = skip_batches
 
     def _resolve_metrics(p):
         outs, group, last_texts, rows, audio_secs, step_at = p
@@ -293,10 +343,26 @@ def train(
                 window_hyps.clear()
 
     def save(epoch, step=None):
+        nonlocal pending
+        if pending is not None:
+            # fold the in-flight dispatch into the windows so the saved
+            # metrics state matches the saved cursor exactly
+            _resolve_metrics(pending)
+            pending = None
         ckpt.save(
             step if step is not None else global_step,
             state,
-            {"epoch": int(epoch), "global_step": int(global_step)},
+            {
+                "epoch": int(epoch),
+                "global_step": int(global_step),
+                "cursor": dict(cursor),
+                "metrics_window": {
+                    "losses": list(losses),
+                    "refs": list(window_refs),
+                    "hyps": list(window_hyps),
+                },
+            },
+            carry=carry,
         )
 
     pipe = BatchPipeline(
@@ -307,6 +373,12 @@ def train(
         while not stop:
             with timer.time("fetch"):
                 batch = pipe.get()
+            if skip_batches > 0:
+                # resume replay: the checkpointed session already processed
+                # this batch; consume and discard to restore data position
+                skip_batches -= 1
+                prev_epoch = batch.epoch
+                continue
             epoch = batch.epoch
 
             if prev_epoch is None:
@@ -327,8 +399,27 @@ def train(
             n_rows = len(batch.audio_items)
 
             # Reset the carry at each new recording batch (reference
-            # train.py:460) — fixed shape B for compile-once.
-            if n_proc > 1:
+            # train.py:460) — fixed shape B for compile-once.  On the first
+            # batch after a mid-recording-batch resume, restore the
+            # checkpointed carry and re-enter at the saved segment instead.
+            seg_idx = 0
+            if resume_seg > 0:
+                seg_idx = min(resume_seg, K)
+                resume_seg = 0
+                if resume_carry is None:
+                    raise RuntimeError(
+                        "resume cursor is mid-recording-batch but the "
+                        "checkpoint has no carry (pre-migration layout)"
+                    )
+                if mesh_plan is not None:
+                    carry = jax.tree.map(
+                        lambda x: jax.device_put(
+                            x, mesh_plan.batch_sharding()), resume_carry,
+                    )
+                else:
+                    carry = resume_carry
+                resume_carry = None
+            elif n_proc > 1:
                 carry = jax.tree.map(
                     lambda x: make_global(np.asarray(x), mesh_plan.batch_sharding()),
                     model.init_state(B_local),
@@ -337,7 +428,6 @@ def train(
                 carry = model.init_state(B)
             KG = max(1, cfg.train.segments_per_dispatch)
 
-            seg_idx = 0
             while seg_idx < K and not stop:
                 # group of up to KG segments, capped so step limits are exact
                 group = min(KG, K - seg_idx)
@@ -414,6 +504,7 @@ def train(
                     state, carry, outs = train_step(state, carry, *args)
 
                 global_step += group
+                cursor = {"batches_done": batches_done_total, "seg_idx": seg_idx}
                 # Resolve the PREVIOUS dispatch's metrics now (one dispatch of
                 # lag keeps the device busy during host-side prep/decoding).
                 if pending is not None:
@@ -436,6 +527,12 @@ def train(
                 dataset.mark_batch_done(epoch, batch.batch_id)
             dataset.log("INFO", f"Completed batch {batch.batch_id} @ epoch {epoch}")
             n_batches += 1
+            batches_done_total += 1
+            if seg_idx >= K:
+                # only a fully-processed batch advances the resume cursor; a
+                # steps-limit stop mid-batch keeps {batches_done, seg_idx}
+                # pointing at the unprocessed remainder
+                cursor = {"batches_done": batches_done_total, "seg_idx": 0}
             if max_batches and n_batches >= max_batches:
                 break
     finally:

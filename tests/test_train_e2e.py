@@ -88,6 +88,43 @@ def test_train_resume(tmp_path, rng):
     assert s2["global_step"] == 10
 
 
+def test_train_kill_resume_mid_batch_exact(tmp_path, rng):
+    """Full-session checkpointing (SURVEY §5: carry-state buffers + data
+    cursor): a run killed mid-recording-batch and resumed must reproduce the
+    uninterrupted run's loss sequence exactly.
+
+    steps=3 stops after the first segment of the second recording batch, so
+    the resumed run re-enters at seg_idx=1 with the restored carry — if the
+    carry or the data cursor were dropped, steps 4-6 would diverge."""
+    from statecatcher_tpu.train.loop import train
+
+    data = _fixture_dir(tmp_path / "data", rng)
+    cfg = _tiny_cfg(data, str(tmp_path / "models"))
+
+    full = train(cfg.apply_overrides(["--train.steps", "6"]))
+    assert full["global_step"] == 6
+
+    part = train(cfg.apply_overrides(["--train.steps", "3"]))
+    assert part["global_step"] == 3
+    resumed = train(cfg.apply_overrides(
+        ["--train.steps", "6", "--train.resume_from", part["run_dir"]]
+    ))
+    assert resumed["global_step"] == 6
+
+    got = part["loss_history"] + resumed["loss_history"]
+    np.testing.assert_allclose(got, full["loss_history"], rtol=0, atol=0)
+
+    # the resumed checkpoint chain carries its own cursor forward
+    import json as _json
+
+    meta_files = glob.glob(
+        os.path.join(resumed["run_dir"], "ckpt", "*", "meta", "*")
+    )
+    assert meta_files  # cursor + metrics window persisted
+    metas = [_json.load(open(p)) for p in meta_files]
+    assert any("cursor" in m for m in metas)
+
+
 def test_train_e2e_rnnt(tmp_path, rng):
     """RNN-T mode: fused transducer loss end-to-end (config 4 slice)."""
     from statecatcher_tpu.train.loop import train
