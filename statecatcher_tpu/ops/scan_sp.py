@@ -98,12 +98,23 @@ def linear_scan_time_sharded(
     a, b: (B, T, D) with T divisible by the axis size; s0: (B, D) replicated.
     Returns the full scan, sharded the same way as the inputs.
     """
-    spec_t = P(None, axis_name, None)
-    spec_r = P()
+    # Keep the batch dim on its own mesh axis through the shard_map boundary.
+    # With in_spec P(None, axis, None) the partitioner must REPLICATE the
+    # batch-sharded activations over 'data' first (XLA: "Involuntary full
+    # rematerialization" — a full-tensor HBM round-trip per scan); with
+    # P('data', axis, None) entering the region splits only time, which is a
+    # local slice (each 'model'-axis device already holds the full T).
+    batch_axis = None
+    for cand in mesh.axis_names:
+        if cand != axis_name and mesh.shape[cand] > 1 and a.shape[0] % mesh.shape[cand] == 0:
+            batch_axis = cand
+            break
+    spec_t = P(batch_axis, axis_name, None)
+    spec_s = P(batch_axis, None)
     fn = jax.shard_map(
         lambda a_, b_, s0_: _local_scan_block(a_, b_, s0_, axis_name),
         mesh=mesh,
-        in_specs=(spec_t, spec_t, spec_r),
+        in_specs=(spec_t, spec_t, spec_s),
         out_specs=spec_t,
         # the replicated s0's cotangent is axis-varying (summed at the
         # boundary); disable the static varying-manual-axes checker to allow it
