@@ -50,6 +50,51 @@ def group_cues_into_chunks(segments: list[Cue], window_sec: float) -> list[Chunk
     return chunks
 
 
+def segment_meta(chunks: list[Chunk], window_sec: float) -> list[dict]:
+    """Per-chunk timing/overlap metadata for decode-side boundary dedup.
+
+    The grouping rule duplicates a kept boundary cue into the next chunk
+    (reference dataset.py:179-211 — see ``group_cues_into_chunks``), so
+    consecutive segments can OVERLAP in audio and repeat that cue's text.
+    Training keeps the duplication (byte parity with the reference); decoding
+    should not transcribe the same audio twice.  For each chunk::
+
+        start          chunk start time (sec, recording clock)
+        end            effective end = min(raw end, start + window) — where the
+                       fixed-size trim actually cuts the audio
+        overlap_start  next chunk's start, iff it falls inside [start, end)
+                       (frames past it are re-decoded in full by the next
+                       segment and should be dropped from this one); else None
+        dup_first_text the duplicated leading cue's text iff this chunk starts
+                       inside the previous chunk's RAW span (drop it once when
+                       joining per-recording reference transcripts); else None
+    """
+    metas: list[dict] = []
+    prev_raw_end = None
+    prev_texts = None
+    for (c_start, c_end, texts) in chunks:
+        dup = (
+            prev_raw_end is not None
+            and c_start < prev_raw_end
+            and bool(texts)
+            and bool(prev_texts)
+            and texts[0] == prev_texts[-1]
+        )
+        metas.append({
+            "start": c_start,
+            "end": min(c_end, c_start + window_sec),
+            "overlap_start": None,   # filled from the NEXT chunk below
+            "dup_first_text": texts[0] if dup else None,
+        })
+        prev_raw_end = c_end
+        prev_texts = texts
+    for k in range(len(metas) - 1):
+        nxt = metas[k + 1]["start"]
+        if metas[k]["start"] < nxt < metas[k]["end"]:
+            metas[k]["overlap_start"] = nxt
+    return metas
+
+
 def chunks_to_segments(
     audio: np.ndarray,
     chunks: list[Chunk],
@@ -104,11 +149,20 @@ def preprocess_recording(
     vtt_text: str,
     sample_rate: int,
     target_samples: int,
-) -> tuple[list[np.ndarray], list[str], list[np.ndarray]]:
-    """Full recording → (segments, texts, masks): parse + group + fix-size."""
+) -> tuple[list[np.ndarray], list[str], list[np.ndarray], list[dict]]:
+    """Full recording → (segments, texts, masks, meta): parse + group + fix-size.
+
+    ``meta`` is ``segment_meta``'s per-segment timing/overlap record (empty-VTT
+    fallback gets one span covering the retained audio).
+    """
     from statecatcher_tpu.data.vtt import vtt_to_segments_with_text
 
     window_sec = target_samples / float(sample_rate)
     cues = vtt_to_segments_with_text(vtt_text)
     chunks = group_cues_into_chunks(cues, window_sec)
-    return chunks_to_segments(audio, chunks, sample_rate, target_samples)
+    arrays, texts, masks = chunks_to_segments(audio, chunks, sample_rate, target_samples)
+    meta = segment_meta(chunks, window_sec)
+    if not meta:
+        meta = [{"start": 0.0, "end": min(len(audio) / sample_rate, window_sec),
+                 "overlap_start": None, "dup_first_text": None}]
+    return arrays, texts, masks, meta

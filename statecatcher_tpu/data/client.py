@@ -151,8 +151,8 @@ class SpeechDataset:
     # ------------------------------------------------------------------ #
     def load_and_preprocess_batch_item(
         self, item: dict, target_samples: int
-    ) -> tuple[list[np.ndarray], list[str], list[np.ndarray]]:
-        """Download one audio+VTT pair → fixed-size (segments, texts, masks).
+    ) -> tuple[list[np.ndarray], list[str], list[np.ndarray], list[dict]]:
+        """Download one audio+VTT pair → fixed-size (segments, texts, masks, meta).
 
         URL-resolution parity with reference dataset.py:142-144 (including the
         ``/var/www/`` → ``https://`` rewrite fallback).

@@ -37,6 +37,9 @@ class PreparedBatch:
     audio_items: list[list[np.ndarray]] = field(default_factory=list)
     text_items: list[list[str]] = field(default_factory=list)
     mask_items: list[list[np.ndarray]] = field(default_factory=list)
+    # Per-segment timing/overlap metadata (chunking.segment_meta) for
+    # decode-side boundary dedup; [] per item when the dataset has none.
+    meta_items: list[list[dict]] = field(default_factory=list)
 
     @property
     def num_segments_per_item(self) -> list[int]:
@@ -91,10 +94,11 @@ class BatchPipeline:
             for f in futures:
                 result = f.result()
                 if result is not None:
-                    audios, texts, masks = result
+                    audios, texts, masks, *rest = result
                     out.audio_items.append(audios)
                     out.text_items.append(texts)
                     out.mask_items.append(masks)
+                    out.meta_items.append(rest[0] if rest else [])
             if not out.audio_items:
                 logger.error("Batch empty after preprocessing errors; retrying")
                 if self._stop.wait(self.empty_retry_sleep):

@@ -45,3 +45,45 @@ def keep_to_token_lists(preds: np.ndarray, keep: np.ndarray) -> list[list[int]]:
 def ctc_greedy_decode_to_lists(log_probs, in_lens, blank_id: int = 0) -> list[list[int]]:
     preds, keep = ctc_greedy_decode(log_probs, in_lens, blank_id)
     return keep_to_token_lists(np.asarray(preds), np.asarray(keep))
+
+
+def boundary_trimmed_lens(
+    in_lens: np.ndarray,
+    metas: list,
+    sample_rate: int,
+    hop_length: int,
+    stack_order: int = 1,
+) -> np.ndarray:
+    """Segment-boundary dedup: cap each row's decodable frames at the next
+    chunk's start time.
+
+    The cue grouping duplicates a kept boundary cue into the next chunk
+    (``data/chunking.py:group_cues_into_chunks``, parity with reference
+    dataset.py:179-211), so the audio past ``overlap_start`` is re-decoded —
+    in full, not cut by the fixed-size trim — by the next segment.  Decoding
+    it here too yields a partial word fragment ("charli" + "charlie"); this
+    trims the fragment so each audio instant is transcribed exactly once.
+
+    ``metas[i]`` is this segment's ``chunking.segment_meta`` record for row i
+    (or None when the dataset provides no metadata — row left untouched).
+    """
+    out = np.asarray(in_lens).copy()
+    frames_per_sec = sample_rate / float(hop_length * max(1, stack_order))
+    for i, m in enumerate(metas):
+        if not m or m.get("overlap_start") is None:
+            continue
+        keep_sec = m["overlap_start"] - m["start"]
+        out[i] = min(int(out[i]), max(0, int(keep_sec * frames_per_sec)))
+    return out
+
+
+def dedup_reference_text(text: str, meta: dict | None) -> str:
+    """Drop the duplicated leading boundary cue from a segment's reference
+    text when joining per-recording transcripts (its words were already
+    contributed by the previous segment's text)."""
+    if not meta:
+        return text
+    dup = meta.get("dup_first_text")
+    if dup and text.startswith(dup):
+        return text[len(dup):].lstrip()
+    return text

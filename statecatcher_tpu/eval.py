@@ -22,7 +22,12 @@ import numpy as np
 from statecatcher_tpu.beam import beam_hypotheses, beam_init, ctc_beam_search
 from statecatcher_tpu.config import Config
 from statecatcher_tpu.data.pipeline import BatchPipeline, stack_segment_slice
-from statecatcher_tpu.decode import ctc_greedy_decode, keep_to_token_lists
+from statecatcher_tpu.decode import (
+    boundary_trimmed_lens,
+    ctc_greedy_decode,
+    dedup_reference_text,
+    keep_to_token_lists,
+)
 from statecatcher_tpu.frontend import compute_features, compute_frame_mask
 from statecatcher_tpu.frontend import feat_dim as frontend_feat_dim
 from statecatcher_tpu.metrics import cer, wer
@@ -48,12 +53,20 @@ def evaluate(
     max_batches: int = 10,
     decoder: str = "greedy",
     beam: int = 8,
+    boundary_dedup: bool = True,
 ) -> EvalResult:
     """Segment-streaming evaluation with carried encoder state.
 
     Hypotheses are accumulated per recording across its segments (decode on
     each segment's valid frames, concatenate), mirroring how the stateful
     model is meant to be consumed.
+
+    ``boundary_dedup`` (default on) removes the cue-duplication artifact of
+    the fixed-size chunker at the decode layer: frames past the next chunk's
+    start are not decoded twice, and the duplicated boundary cue's text is
+    counted once in the joined reference (``decode.boundary_trimmed_lens`` /
+    ``dedup_reference_text``).  Training is untouched — byte parity with the
+    reference's segmentation is preserved there.
     """
     import dataclasses as dc
 
@@ -117,6 +130,17 @@ def evaluate(
                     params, jnp.asarray(audio), jnp.asarray(mask), carry
                 )
                 n_segments += 1
+                metas_k = [
+                    batch.meta_items[i][seg_idx]
+                    if (boundary_dedup and i < len(batch.meta_items)
+                        and seg_idx < len(batch.meta_items[i]))
+                    else None
+                    for i in range(n_rows)
+                ]
+                in_lens = jnp.asarray(boundary_trimmed_lens(
+                    np.asarray(in_lens), metas_k, sr,
+                    cfg.frontend.hop_length, stack_order,
+                ))
                 if use_rnnt_dec:
                     from statecatcher_tpu.rnnt_decode import (
                         rnnt_beam_init,
@@ -155,7 +179,9 @@ def evaluate(
                             per_item_hyp[i].extend(batch_hyps[i])
                 for i in range(n_rows):
                     if seg_idx < len(batch.text_items[i]):
-                        per_item_ref[i].append(texts[i])
+                        per_item_ref[i].append(
+                            dedup_reference_text(texts[i], metas_k[i])
+                        )
             if use_rnnt_dec:
                 from statecatcher_tpu.rnnt_decode import (
                     rnnt_beam_to_lists,

@@ -96,7 +96,8 @@ def test_segments_pad_and_trim():
 def test_empty_vtt_fallback():
     sr = 100
     audio = np.ones(120, dtype=np.float32)
-    arrays, texts, masks = preprocess_recording(audio, "", sr, 200)
+    arrays, texts, masks, meta = preprocess_recording(audio, "", sr, 200)
+    assert len(meta) == 1 and meta[0]["overlap_start"] is None
     assert len(arrays) == 1
     assert texts == [""]
     assert masks[0].sum() == 120
@@ -117,8 +118,8 @@ second chunk
 00:12.000 --> 00:25.000
 third
 """
-    arrays, texts, masks = preprocess_recording(audio, vtt, sr, 10 * sr)
-    assert len(arrays) == len(texts) == len(masks)
+    arrays, texts, masks, meta = preprocess_recording(audio, vtt, sr, 10 * sr)
+    assert len(arrays) == len(texts) == len(masks) == len(meta)
     for a, m in zip(arrays, masks):
         assert a.shape == (10 * sr,)
         assert m.shape == (10 * sr,)

@@ -62,8 +62,8 @@ def test_http_item_preprocess(server):
     ds.start_session(batch_size=1)
     _, _, batch = ds.fetch_next_batch()
     target = 16000 * 2
-    audios, texts, masks = ds.load_and_preprocess_batch_item(batch[0], target)
-    assert len(audios) == len(texts) == len(masks) >= 1
+    audios, texts, masks, meta = ds.load_and_preprocess_batch_item(batch[0], target)
+    assert len(audios) == len(texts) == len(masks) == len(meta) >= 1
     for a, m in zip(audios, masks):
         assert a.shape == (target,)
         assert m.shape == (target,)
@@ -91,7 +91,7 @@ def test_local_dataset(tmp_path, rng):
     ds.start_session(batch_size=2)
     epoch, batch_id, batch = ds.fetch_next_batch()
     assert epoch == 0 and len(batch) == 2
-    audios, texts, masks = ds.load_and_preprocess_batch_item(batch[0], 16000)
+    audios, texts, masks, _ = ds.load_and_preprocess_batch_item(batch[0], 16000)
     assert len(audios) >= 1
 
 

@@ -302,8 +302,8 @@ def reference_heldout_wer(args, workdir, heldout_url, n_heldout, sp_path,
     K = min(len(p[0]) for p in per_item)  # clipping strategy
 
     refs, hyp_ids = [], [[] for _ in per_item]
-    for i, (_, texts, _) in enumerate(per_item):
-        refs.append(" ".join(t for t in texts[:K] if t))
+    for i, p in enumerate(per_item):
+        refs.append(" ".join(t for t in p[1][:K] if t))
 
     state = None
     with torch.no_grad():
