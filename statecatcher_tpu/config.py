@@ -168,6 +168,13 @@ class TrainConfig:
     # lax.scan in groups of this size (carry threads through); 1 = per-segment
     # dispatch like the reference host loop.
     segments_per_dispatch: int = 8
+    # Compact host→device transfer: ship audio as int16 PCM (de-quantized on
+    # device — within 1 ulp of the host float32 division for the PCM-derived
+    # audio the data plane decodes) and sample masks as (K, B) prefix lengths
+    # (bit-exact) instead of (K, B, S) bools — 5× fewer bytes over
+    # PCIe/tunnel per dispatch.  False = raw float32 + bool masks (debugging,
+    # or non-PCM synthetic audio where quantization would perturb by ≤3e-5).
+    compact_transfer: bool = True
     seed: int = 0
     # On-the-fly bad-segment filtering (the reference lists "hallucination
     # detection & filtering" as planned-only, reference README.md:30):

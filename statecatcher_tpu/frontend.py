@@ -235,3 +235,27 @@ def compute_frame_mask(sample_mask: jnp.ndarray, num_feat_frames: int,
         (jnp.sum(sample_mask, axis=1) / subsample).astype(jnp.int32), T
     )
     return frame_mask, in_lens
+
+
+def frame_mask_from_lens(sample_lens: jnp.ndarray, num_samples: int,
+                         num_feat_frames: int, stack_order: int = 1
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Prefix-length (B,) i32 → ((B, T) frame mask, (B,) frame lengths).
+
+    Every sample mask the data plane produces is a PREFIX mask (real audio
+    then zero-pad — ``data/chunking.py:chunks_to_segments``, parity with
+    reference dataset.py:221-248), so the (B, S) boolean mask carries only
+    B integers of information.  This computes ``compute_frame_mask``'s exact
+    result from those integers: for a prefix of length L, the any-pool over
+    window t is ``t·win < L`` and ``sum(mask) == L``.  Lets the train loop
+    ship (B,) int32 instead of (B, S) bool across host→device.
+    """
+    T = num_feat_frames // stack_order if stack_order > 1 else num_feat_frames
+    subsample = (num_samples / num_feat_frames) * float(stack_order)
+    win = int(subsample)
+    t = jnp.arange(T, dtype=jnp.int32)
+    frame_mask = t[None, :] * win < sample_lens[:, None]
+    in_lens = jnp.minimum(
+        (sample_lens / subsample).astype(jnp.int32), T
+    )
+    return frame_mask, in_lens

@@ -476,6 +476,15 @@ def train(
                         g_texts.append([""] * B_local)
                     audio_k = np.stack(g_audio)
                     mask_k = np.stack(g_mask)
+                    if cfg.train.compact_transfer:
+                        # int16 audio + prefix lengths: 5× fewer host→device
+                        # bytes; the jitted step de-quantizes / rebuilds the
+                        # frame mask on device (train/step.py, bit-identical
+                        # for the PCM-derived audio the data plane produces).
+                        audio_k = np.clip(
+                            np.rint(audio_k * 32767.0), -32768.0, 32767.0
+                        ).astype(np.int16)
+                        mask_k = np.count_nonzero(mask_k, axis=2).astype(np.int32)
 
                 with timer.time("train_step"):
                     # async dispatch: nothing here blocks — the device starts

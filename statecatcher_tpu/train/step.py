@@ -29,7 +29,12 @@ from flax.training import train_state
 
 from statecatcher_tpu.config import Config, OptimConfig
 from statecatcher_tpu.decode import ctc_greedy_decode
-from statecatcher_tpu.frontend import compute_features, compute_frame_mask, num_frames
+from statecatcher_tpu.frontend import (
+    compute_features,
+    compute_frame_mask,
+    frame_mask_from_lens,
+    num_frames,
+)
 from statecatcher_tpu.ops.ctc import ctc_loss_per_example
 
 
@@ -231,9 +236,20 @@ def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
     mode = cfg.train.mode
 
     def step(state: TrainState, carry, audio, sample_mask, tokens, tok_lens, row_valid):
+        # Compact-transfer forms (train/loop.py host→device halving): audio may
+        # arrive as int16 PCM (de-quantized here, on device — within 1 ulp of
+        # the host's float32 division: XLA lowers /32767 to reciprocal
+        # multiply) and the sample mask as (B,) prefix lengths instead of
+        # (B, S) bools (that half IS bit-exact: frame_mask_from_lens).
+        S = audio.shape[-1]
+        if audio.dtype == jnp.int16:
+            audio = audio.astype(jnp.float32) / 32767.0
         feats = compute_features(audio, fe)
         T = feats.shape[1]
-        frame_mask, in_lens = compute_frame_mask(sample_mask, T, stack_order)
+        if sample_mask.ndim == 1:
+            frame_mask, in_lens = frame_mask_from_lens(sample_mask, S, T, stack_order)
+        else:
+            frame_mask, in_lens = compute_frame_mask(sample_mask, T, stack_order)
         in_lens = jnp.maximum(in_lens, 1)
         carry_in = jax.lax.stop_gradient(carry)
 
