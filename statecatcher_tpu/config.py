@@ -76,7 +76,14 @@ class XLSTMConfig:
     embedding_dim: int = 512
     num_heads: int = 2
     num_blocks: int = 3
-    chunk_size: int = 64       # chunkwise-parallel kernel chunk; reference pads T to 64 (model.py:305)
+    # Chunkwise-parallel kernel chunk (the math is exact for any size; the
+    # reference pads T to 64, model.py:305).  128 is the measured on-chip
+    # winner at the flagship config — round-3 shootout, BASELINE.md:
+    # chunkwise@128 7318 > pallas@128 7235 > chunkwise@64 7038 >
+    # pallas@256 6971 audio-s/s; chunkwise@256 failed to compile in <9.5 min;
+    # recurrent OOMs in training (decode-step form).  NOTE: the Pallas kernel
+    # on a real TPU needs chunk_size % 128 == 0 (lane-aligned chunk offsets).
+    chunk_size: int = 128
     kernel_impl: str = "chunkwise"  # "chunkwise" | "recurrent" | "pallas"
     ffn_proj_factor: float = 2.667
     qk_dim_factor: float = 0.5

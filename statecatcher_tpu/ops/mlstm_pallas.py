@@ -34,8 +34,8 @@ def _mlstm_kernel(L: int, q_ref, k_ref, v_ref, ic_ref, lf_ref,
     Tp = q_ref.shape[1]
     NC = Tp // L
     c_s[:] = c0_ref[0]
-    n_s[:] = n0_ref[:]
-    m_s[:] = m0_ref[:]
+    n_s[:] = n0_ref[0]
+    m_s[:] = m0_ref[0]
 
     rows = lax.broadcasted_iota(jnp.int32, (L, L), 0)
     cols = lax.broadcasted_iota(jnp.int32, (L, L), 1)
@@ -46,11 +46,17 @@ def _mlstm_kernel(L: int, q_ref, k_ref, v_ref, ic_ref, lf_ref,
         qc = q_ref[0, sl, :]                             # (L, dqk)
         kc = k_ref[0, sl, :]
         vc = v_ref[0, sl, :]                             # (L, dv)
-        ic = ic_ref[:, sl]                               # (1, L)
-        lf = lf_ref[:, sl]                               # (1, L)
+        ic = ic_ref[0, :, sl]                            # (1, L)
+        lf = lf_ref[0, :, sl]                            # (1, L)
         m = m_s[0, 0]
 
-        b = jnp.cumsum(lf, axis=1)                       # (1, L)
+        # cumulative log-forget along the chunk; cumsum has no Mosaic
+        # lowering, so run it as a (1,L)·(L,L) lower-triangular matmul
+        b = lax.dot_general(
+            lf, tri.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                # (1, L)
         a = ic - b                                       # (1, L)
         bL = b[0, L - 1]
         b_col = b.reshape(L, 1)
@@ -92,13 +98,13 @@ def _mlstm_kernel(L: int, q_ref, k_ref, v_ref, ic_ref, lf_ref,
             preferred_element_type=jnp.float32,
         )
         n_s[:] = decay * n_s[:] + jnp.sum(kw, axis=0, keepdims=True)
-        m_s[0, 0] = m_new
+        m_s[:] = jnp.full((1, 1), m_new)     # scalar stores to VMEM unsupported
         return 0
 
     lax.fori_loop(0, NC, chunk, 0)
     ct_ref[0] = c_s[:]
-    nt_ref[:] = n_s[:]
-    mt_ref[:] = m_s[:]
+    nt_ref[0] = n_s[:]
+    mt_ref[0] = m_s[:]
 
 
 def _pallas_forward(q, k, v, i_raw, f_raw, C0, n0, m0,
@@ -123,37 +129,35 @@ def _pallas_forward(q, k, v, i_raw, f_raw, C0, n0, m0,
     q = (q * (dqk ** -0.5)).reshape(BH, Tp, dqk)
     k = k.reshape(BH, Tp, dqk)
     v = v.reshape(BH, Tp, dv)
-    i_c = _soft_cap(i_raw, gate_soft_cap).reshape(BH, Tp)
-    logf = jax.nn.log_sigmoid(_soft_cap(f_raw, gate_soft_cap)).reshape(BH, Tp)
+    # Rank-3 layouts with a singleton middle axis so every block's last two
+    # dims equal the array's (Mosaic requires last-two block dims to be
+    # (8, 128)-divisible OR full — a (1, Tp) block over (BH, Tp) violates the
+    # sublane rule whenever BH > 1).
+    i_c = _soft_cap(i_raw, gate_soft_cap).reshape(BH, 1, Tp)
+    logf = jax.nn.log_sigmoid(_soft_cap(f_raw, gate_soft_cap)).reshape(BH, 1, Tp)
     C0f = C0.reshape(BH, dqk, dv)
-    n0f = n0.reshape(BH, dqk)
-    m0f = m0.reshape(BH, 1)
+    n0f = n0.reshape(BH, 1, dqk)
+    m0f = m0.reshape(BH, 1, 1)
 
-    spec3 = lambda d: pl.BlockSpec((1, Tp, d), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM)
-    spec2 = pl.BlockSpec((1, Tp), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec3 = lambda d2, d: pl.BlockSpec((1, d2, d), lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
     h, C_T, n_T, m_T = pl.pallas_call(
         functools.partial(_mlstm_kernel, L),
         grid=(BH,),
         in_specs=[
-            spec3(dqk), spec3(dqk), spec3(dv), spec2, spec2,
-            pl.BlockSpec((1, dqk, dv), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dqk), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            spec3(Tp, dqk), spec3(Tp, dqk), spec3(Tp, dv),
+            spec3(1, Tp), spec3(1, Tp),
+            spec3(dqk, dv), spec3(1, dqk), spec3(1, 1),
         ],
         out_specs=[
-            spec3(dv),
-            pl.BlockSpec((1, dqk, dv), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dqk), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            spec3(Tp, dv),
+            spec3(dqk, dv), spec3(1, dqk), spec3(1, 1),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Tp, dv), jnp.float32),
             jax.ShapeDtypeStruct((BH, dqk, dv), jnp.float32),
-            jax.ShapeDtypeStruct((BH, dqk), jnp.float32),
-            jax.ShapeDtypeStruct((BH, 1), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, dqk), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((dqk, dv), jnp.float32),

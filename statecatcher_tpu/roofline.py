@@ -29,6 +29,11 @@ from statecatcher_tpu.config import Config
 
 V5E_PEAK_FLOPS_BF16 = 197e12
 V5E_PEAK_HBM_BPS = 819e9
+# In-kernel VPU transcendental throughput, measured on chip via the fused
+# RNN-T joint forward (tools/profile_rnnt_joint.py: 45.6 ms fwd at flagship
+# shapes ≈ 9.3 ms matmul + ~36 ms for 7.1e9 exp+max+sum lanes → ~2.4e11/s;
+# Mosaic's native exp path — XLA's scan-microbenched exp is ~5× slower).
+V5E_PEAK_EXP_PS = 2.4e11
 
 
 @dataclass
@@ -77,16 +82,28 @@ def train_step_roofline(
     enc_fwd = 2 * din0 * gates * D + 2 * (L - 1) * D * gates * D
     proj_fwd = 2 * D * V
     fwd = enc_fwd + proj_fwd
+    exec_extra_frame = 0.0   # executed-but-not-model work (padding, recompute)
+    exp_frame = 0.0          # VPU transcendental lanes per frame
     if mode == "ctc":
         S = 2 * max_label_len + 1
         # emission one-hot matmul fwd + grad projection bwd (ops/ctc.py)
         fwd += 2 * V * S
+        flops_frame = 3 * fwd  # bwd = 2x fwd matmuls
+        flops_exec_frame = flops_frame
     else:
         J = m.rnnt_joiner_dim
-        # fused joint recompute (fwd + bwd recompute) dominated by T×U joint
-        fwd += 2 * max_label_len * J * V / frames * frames  # per frame: U*J*V
-        fwd += 2 * max_label_len * J * V
-    flops_frame = 3 * fwd  # bwd = 2x fwd matmuls
+        U1 = max_label_len + 1
+        flops_frame = 3 * (fwd + 2 * U1 * J * V)   # model convention
+        # Executed work of the fused Pallas joint (ops/rnnt_pallas.py): per
+        # frame, 4 matmul passes (fwd; bwd recompute, dlog·Kᵀ, dK) over the
+        # PADDED tile — Jp lanes are real MXU cycles, so SoL counts them —
+        # plus the full-vocab softmax on the VPU twice (fwd + bwd recompute),
+        # which is the measured forward bottleneck.
+        Jp = -(-(J + 1) // 128) * 128
+        U1p = -(-U1 // 8) * 8
+        Vp = -(-V // 128) * 128
+        flops_exec_frame = 3 * fwd + 4 * (2 * U1p * Jp * Vp)
+        exp_frame = 2 * U1p * Vp
 
     # ---- principal HBM bytes per frame ----
     by = 0.0
@@ -103,6 +120,9 @@ def train_step_roofline(
         S = 2 * max_label_len + 1
         # emit, alpha, beta, gamma tiles (f32, write+read each)
         by += 4 * 2 * S * 4
+    else:
+        # blank/emit tables + lattice alpha/occupancy (f32, write+read each)
+        by += 5 * 2 * (max_label_len + 1) * 4
     bytes_frame = by
 
     # optimizer: adam reads p,g,m,v and writes p,m,v in f32 once per
@@ -114,7 +134,8 @@ def train_step_roofline(
     flops_per_audio_sec = flops_frame * frames
     bytes_per_audio_sec = bytes_frame * frames + opt_bytes_per_audio_sec
 
-    t_flops = flops_per_audio_sec / peak_flops
+    t_flops = flops_exec_frame * frames / peak_flops
     t_bytes = bytes_per_audio_sec / peak_hbm
-    sol = 1.0 / max(t_flops, t_bytes)
+    t_exp = exp_frame * frames / V5E_PEAK_EXP_PS
+    sol = 1.0 / max(t_flops, t_bytes, t_exp)
     return Roofline(flops_per_audio_sec, bytes_per_audio_sec, sol)
