@@ -64,12 +64,8 @@ class SpeechDataset:
         self.session.mount("http://", adapter)
         self.session.mount("https://", adapter)
         self.session.headers.update(
-            {"Connection": "keep-alive", "User-Agent": "StatecatcherTPU/1.0"}
+            {"Connection": "keep-alive", "User-Agent": "statecatcher-tpu-client"}
         )
-
-    def _vprint(self, *args):
-        if self.verbose:
-            print("[INFO]", *args)
 
     # ------------------------------------------------------------------ #
     # Session protocol
@@ -89,7 +85,8 @@ class SpeechDataset:
         if not result.get("success"):
             raise RuntimeError(f"Failed to start session: {result.get('error')}")
         self.session_id = result["session_id"]
-        self._vprint(f"Started session {self.session_id}")
+        if self.verbose:
+            logger.info("Started session %s", self.session_id)
 
     def fetch_next_batch(self) -> tuple[int, Any, list]:
         """GET the next batch descriptor.  Raises RuntimeError on any

@@ -82,7 +82,6 @@ def train_step_roofline(
     enc_fwd = 2 * din0 * gates * D + 2 * (L - 1) * D * gates * D
     proj_fwd = 2 * D * V
     fwd = enc_fwd + proj_fwd
-    exec_extra_frame = 0.0   # executed-but-not-model work (padding, recompute)
     exp_frame = 0.0          # VPU transcendental lanes per frame
     if mode == "ctc":
         S = 2 * max_label_len + 1

@@ -31,21 +31,21 @@ def plot_batch_waveforms(audio, texts, epoch, batch_id, seg_idx, out_dir="plots"
     from matplotlib import pyplot as plt
 
     os.makedirs(out_dir, exist_ok=True)
-    num_items = len(audio)
-    fig = plt.figure(figsize=(12, 2.5 * num_items))
-    for i, (waveform, text) in enumerate(zip(audio, texts)):
-        ax = fig.add_subplot(num_items, 1, i + 1)
-        ax.plot(np.asarray(waveform))
-        ax.set_xlim(0, len(waveform))
-        ax.set_ylabel(f"Item {i + 1}")
-        ax.set_xticks([])
-        ax.set_yticks([])
-        ax.set_title(text[:80], fontsize=8, pad=2)
-    plt.tight_layout()
+    n = len(audio)
+    fig, axes = plt.subplots(
+        n, 1, figsize=(10, 1.8 * n), squeeze=False, constrained_layout=True
+    )
+    for row, (ax, waveform, text) in enumerate(zip(axes[:, 0], audio, texts)):
+        w = np.asarray(waveform)
+        ax.plot(w, linewidth=0.4)
+        ax.margins(x=0)
+        ax.set_axis_off()
+        ax.text(0.0, 1.02, f"[{row}] {text[:80]}",
+                transform=ax.transAxes, fontsize=7, va="bottom")
     fname = os.path.join(
         out_dir, f"batch{epoch:04d}_batch{int(batch_id):05d}_segment{seg_idx:05d}.pdf"
     )
-    plt.savefig(fname)
+    fig.savefig(fname)
     plt.close(fig)
     return fname
 

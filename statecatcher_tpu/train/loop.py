@@ -187,28 +187,18 @@ def train(
     resume_window = None      # metrics window at the checkpointed boundary
     if cfg.train.resume_from:
         prev = CheckpointManager(cfg.train.resume_from)
-        if n_proc == 1:
-            state, meta, resume_carry = prev.restore(
-                state, carry_template=model.init_state(B))
-        else:
-            # multi-host: params/opt restore everywhere; mid-batch carry
-            # re-entry is a single-host feature (the carry template has no
-            # global sharding yet at this point) — resume rounds up to the
-            # next recording batch instead.
-            state, meta = prev.restore(state)
+        # Every host restores the FULL global-B carry (it is tiny — a few MB
+        # at flagship shapes); the mid-batch re-entry below slices each
+        # host's local rows and reassembles the sharded global array once
+        # the mesh exists.  This makes mid-recording-batch resume exact
+        # under multi-host too (round-3 gap: the old path rounded up to the
+        # next batch).
+        state, meta, resume_carry = prev.restore(
+            state, carry_template=model.init_state(B))
         global_step = int(meta["global_step"])
         start_epoch = int(meta["epoch"])
         resume_cursor = meta.get("cursor")
         resume_window = meta.get("metrics_window")
-        if n_proc > 1 and resume_cursor and resume_cursor.get("seg_idx", 0) > 0:
-            logger.warning(
-                "multi-host resume: skipping the remainder of the "
-                "checkpointed mid-flight recording batch"
-            )
-            resume_cursor = {
-                "batches_done": int(resume_cursor["batches_done"]) + 1,
-                "seg_idx": 0,
-            }
         logger.info(
             "Resumed from %s at step %d (cursor=%s, carry=%s)",
             cfg.train.resume_from, global_step, resume_cursor,
@@ -297,6 +287,7 @@ def train(
     stop = False
     pending = None  # deferred metrics of the in-flight dispatch
     carry = None
+    compact_checked = False  # one-time compact_transfer invariant checks
     # data-session cursor: how many recording batches this session has fully
     # processed, and the next segment index within the in-flight batch.  Saved
     # with every checkpoint so resume can re-enter mid-recording-batch (the
@@ -411,7 +402,21 @@ def train(
                         "resume cursor is mid-recording-batch but the "
                         "checkpoint has no carry (pre-migration layout)"
                     )
-                if mesh_plan is not None:
+                if n_proc > 1:
+                    # slice this host's rows of the restored global-B carry
+                    # and reassemble the batch-sharded global array
+                    sh = mesh_plan.batch_sharding()
+
+                    def _to_global(x, sh=sh):
+                        x = np.asarray(x)
+                        idxs = sh.addressable_devices_indices_map(x.shape)
+                        starts = [s[0].start or 0 for s in idxs.values()]
+                        stops = [x.shape[0] if s[0].stop is None else s[0].stop
+                                 for s in idxs.values()]
+                        return make_global(x[min(starts):max(stops)], sh)
+
+                    carry = jax.tree.map(_to_global, resume_carry)
+                elif mesh_plan is not None:
                     carry = jax.tree.map(
                         lambda x: jax.device_put(
                             x, mesh_plan.batch_sharding()), resume_carry,
@@ -481,10 +486,40 @@ def train(
                         # bytes; the jitted step de-quantizes / rebuilds the
                         # frame mask on device (train/step.py, bit-identical
                         # for the PCM-derived audio the data plane produces).
-                        audio_k = np.clip(
+                        audio_q = np.clip(
                             np.rint(audio_k * 32767.0), -32768.0, 32767.0
                         ).astype(np.int16)
-                        mask_k = np.count_nonzero(mask_k, axis=2).astype(np.int32)
+                        lens_k = np.count_nonzero(mask_k, axis=2).astype(np.int32)
+                        if not compact_checked:
+                            # one-time invariant checks on the first group:
+                            # (a) masks must be PREFIX masks — interior zeros
+                            #     (e.g. a future time-masking augmentation)
+                            #     would silently become a different mask;
+                            # (b) resampled / non-PCM16 sources are perturbed
+                            #     by the int16 grid (≤ ~3e-5/sample) — say so
+                            #     once instead of silently.
+                            compact_checked = True
+                            pfx = np.arange(mask_k.shape[2]) < lens_k[..., None]
+                            if not np.array_equal(mask_k.astype(bool), pfx):
+                                raise ValueError(
+                                    "train.compact_transfer requires prefix "
+                                    "sample masks; got a mask with interior "
+                                    "zeros — disable compact_transfer or fix "
+                                    "the data plane (chunks_to_segments "
+                                    "produces prefix masks)"
+                                )
+                            err = float(
+                                np.max(np.abs(audio_q / 32767.0 - audio_k))
+                            ) if audio_k.size else 0.0
+                            if err > 1e-6:  # f32 PCM16 roundtrip noise ~1e-8
+                                logger.info(
+                                    "compact_transfer: audio not on the int16 "
+                                    "grid (max quantization error %.2e/sample"
+                                    " — resampled or float-sourced input); "
+                                    "set train.compact_transfer=false for "
+                                    "bit-exact transfer", err,
+                                )
+                        audio_k, mask_k = audio_q, lens_k
 
                 with timer.time("train_step"):
                     # async dispatch: nothing here blocks — the device starts

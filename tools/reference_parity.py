@@ -372,8 +372,11 @@ def ours_heldout_wer(args, workdir, heldout_dir, sp_path, run_dir):
     mgr = CheckpointManager(run_dir)
     state, _ = mgr.restore(template)
     mgr.close()
+    # boundary_dedup=False: the reference side joins raw segment texts, so
+    # the head-to-head WER must score our side on the same raw convention
+    # (dedup-on numbers are reported separately by tools/fixture_wer.py)
     res = evaluate(cfg, state.params, tokenizer, max_batches=1,
-                   decoder="greedy")
+                   decoder="greedy", boundary_dedup=False)
     return {"wer": res.wer, "cer": res.cer, "refs": res.refs, "hyps": res.hyps}
 
 
