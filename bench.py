@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
 """Benchmark: train audio-seconds/s/chip, LucyRNN-CTC stateful (north star).
 
-Runs the full jitted train step (frontend → LucyRNN encoder → CTC loss →
-backward → update, carry threaded) on synthetic 16 s segments and prints ONE
-JSON line::
+Runs the full jitted train step (frontend → encoder → loss → backward →
+update, carry threaded) on synthetic 16 s segments and prints ONE JSON line::
 
     {"metric": "...", "value": N, "unit": "audio_sec_per_sec_per_chip",
      "vs_baseline": N}
+
+``BENCH_MODES=sweep`` instead emits one JSON line per recorded per-mode
+config (lucyrnn-ctc B64 flagship, xlstm-ctc, rnnt U=64, lstm-ctc) so the
+driver's BENCH artifact captures the per-mode records reproducibly.
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is
 measured against the recorded first-round value in BENCH_BASELINE.json when
@@ -21,7 +24,9 @@ import sys
 import time
 
 
-def main():
+def run_one(B=64, K=8, n_disp=2, seconds=16.0, kernel="", ctc_impl="auto",
+            dtype="bfloat16", encoder="lucyrnn", mode="ctc", U=128,
+            xlstm_kernel="", xlstm_chunk="", rnnt_tb=""):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -30,22 +35,6 @@ def main():
     from statecatcher_tpu.models.asr import init_carry
     from statecatcher_tpu.models.speech import build_speech_model
     from statecatcher_tpu.train.step import init_train_state, make_segment_scan_step
-
-    # Flagship config: canonical hyperparameters (SURVEY.md Appendix B):
-    # hidden 512 × 4 layers, vocab 1024, 16 s segments @ 16 kHz, MFCC-80.
-    # The measured unit is the production dispatch: a K-segment on-device
-    # scan with carry threaded and one optimizer update per segment.
-    # B=64 is the recorded best config (BASELINE.md); full bench run incl.
-    # compile stays under 2 min on the chip, inside the driver's budget.
-    B = int(os.environ.get("BENCH_BATCH", "64"))
-    K = int(os.environ.get("BENCH_SEGMENTS", "8"))
-    n_disp = int(os.environ.get("BENCH_DISPATCHES", "2"))
-    seconds = float(os.environ.get("BENCH_SECONDS", "16.0"))
-    kernel = os.environ.get("BENCH_KERNEL", "")  # "" = config default
-    ctc_impl = os.environ.get("BENCH_CTC", "auto")  # auto = pallas on TPU
-    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
-    encoder = os.environ.get("BENCH_ENCODER", "lucyrnn")  # lucyrnn|lstm|xlstm|rwkv
-    mode = os.environ.get("BENCH_MODE", "ctc")            # ctc|rnnt
 
     over = [
         "--train.mode", mode,
@@ -60,16 +49,12 @@ def main():
     ]
     if kernel:
         over += ["--model.lucyrnn.kernel_impl", kernel]
-    xlstm_kernel = os.environ.get("BENCH_XLSTM_KERNEL", "")
     if xlstm_kernel:
         over += ["--model.xlstm.kernel_impl", xlstm_kernel]
-    xlstm_chunk = os.environ.get("BENCH_XLSTM_CHUNK", "")
     if xlstm_chunk:
         over += ["--model.xlstm.chunk_size", xlstm_chunk]
-    rnnt_tb = os.environ.get("BENCH_RNNT_TIME_BLOCK", "")
     if rnnt_tb:
         over += ["--train.rnnt_time_block", rnnt_tb]
-    rnnt_u = os.environ.get("BENCH_RNNT_U", "")
     cfg = Config().apply_overrides(over)
 
     sr = cfg.data.batch_samplerate
@@ -84,7 +69,6 @@ def main():
     rng_np = np.random.default_rng(0)
     audio = jnp.asarray(rng_np.uniform(-0.3, 0.3, (K, B, S)).astype(np.float32))
     mask = jnp.ones((K, B, S), jnp.bool_)
-    U = int(rnnt_u) if rnnt_u else 128
     tokens = jnp.asarray(rng_np.integers(1, 1024, (K, B, U)).astype(np.int32))
     tok_lens = jnp.full((K, B), U, jnp.int32)
     row_valid = jnp.ones((K, B), jnp.bool_)
@@ -136,7 +120,43 @@ def main():
         "vs_baseline": round(vs, 3),
         "mfu": round(rl.mfu(audio_sec_per_sec), 4),
         "pct_speed_of_light": round(100 * rl.pct_sol(audio_sec_per_sec), 2),
-    }))
+    }), flush=True)
+
+
+def main():
+    env = os.environ.get
+    base = dict(
+        B=int(env("BENCH_BATCH", "64")),
+        K=int(env("BENCH_SEGMENTS", "8")),
+        n_disp=int(env("BENCH_DISPATCHES", "2")),
+        seconds=float(env("BENCH_SECONDS", "16.0")),
+        kernel=env("BENCH_KERNEL", ""),          # "" = config default
+        ctc_impl=env("BENCH_CTC", "auto"),       # auto = pallas on TPU
+        dtype=env("BENCH_DTYPE", "bfloat16"),
+        encoder=env("BENCH_ENCODER", "lucyrnn"),  # lucyrnn|lstm|xlstm|rwkv
+        mode=env("BENCH_MODE", "ctc"),            # ctc|rnnt
+        U=int(env("BENCH_RNNT_U", "128")),
+        xlstm_kernel=env("BENCH_XLSTM_KERNEL", ""),
+        xlstm_chunk=env("BENCH_XLSTM_CHUNK", ""),
+        rnnt_tb=env("BENCH_RNNT_TIME_BLOCK", ""),
+    )
+    if env("BENCH_MODES", "") == "sweep":
+        # per-mode records (BASELINE.md round-3 table), one JSON line each
+        for spec in (
+            dict(base, encoder="lucyrnn", mode="ctc"),
+            dict(base, encoder="xlstm", mode="ctc"),
+            dict(base, encoder="lucyrnn", mode="rnnt", U=64),
+            dict(base, encoder="lstm", mode="ctc"),
+        ):
+            try:
+                run_one(**spec)
+            except Exception as e:
+                print(json.dumps({
+                    "metric": f"{spec['encoder']}_{spec['mode']}",
+                    "error": f"{type(e).__name__}: {str(e)[:200]}",
+                }), flush=True)
+        return
+    run_one(**base)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,31 @@ def lucy_cell_parallel(
     """
     from statecatcher_tpu.ops.lucy_pallas import lucy_gate_coeffs
 
+    D_ = gates.shape[-1] if gates.ndim == 4 else gates.shape[-1] // 7
+    if (impl == "auto" and frame_mask is None and D_ % 128 == 0
+            and jax.default_backend() == "tpu"):
+        # measured default on TPU: the fused lane-major cell at chunk 32
+        # (12459 vs 10678 audio-s/s flagship at @64=11357, @128=10775 —
+        # BASELINE.md round 4)
+        impl = "fused-lm@32"
+    if impl.startswith("fused-lm") and frame_mask is None and D_ % 128 == 0:
+        # ONE kernel for gate math + both scans, lane-major gates, fused
+        # backward emitting d_gates directly (ops/lucy_fused_lm.py).  No
+        # frame-mask support: masked calls fall through to the split path.
+        from statecatcher_tpu.ops.lucy_fused_lm import lucy_cell_fused_lm
+
+        chunk = int(impl.split("@", 1)[1]) if "@" in impl else 128
+        if gates.ndim == 4:
+            B, T, _, D = gates.shape
+            gates = gates.reshape(B, T, 7 * D)
+        if bias is None:
+            bias = jnp.zeros((gates.shape[-1],), jnp.float32)
+        h_all, s_all = lucy_cell_fused_lm(gates, bias, h0, s0, chunk)
+        return h_all, h_all[:, -1, :], s_all[:, -1, :]
+    if impl.startswith("fused-lm"):
+        # masked / odd-D fallback: split path below
+        impl = "pallas" if jax.default_backend() == "tpu" else "assoc"
+
     if impl in ("pallas-fused", "auto-fused"):
         from statecatcher_tpu.ops.lucy_pallas import lucy_fused_cell
 

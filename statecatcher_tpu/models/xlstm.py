@@ -142,37 +142,47 @@ def mlstm_chunkwise(
         bL = b[..., -1]                                     # (B,H)
 
         # --- intra-chunk ------------------------------------------------ #
+        # MXU matmuls run in the INPUT precision (bf16 under the flagship
+        # model dtype — f32 matmuls execute at a fraction of the bf16 MXU
+        # rate on TPU) with f32 accumulation; all gating/exp/stabilization
+        # math stays f32.
+        md = qc.dtype
+        f32 = jnp.float32
+        mm = lambda spec, x, y: jnp.einsum(
+            spec, x, y, preferred_element_type=f32)
         a_runmax = lax.cummax(a, axis=2)                    # max_{s≤t} a_s
         mu = b + jnp.maximum(m[..., None], a_runmax)        # (B,H,L)
         # local decay matrix D[t,s] = b_t + a_s − μ_t (s ≤ t)
         D = b[..., :, None] + a[..., None, :] - mu[..., :, None]
         D = jnp.where(tri_mask[None, None], D, _NEG_INF)
-        S = jnp.einsum("bhtd,bhsd->bhts", qc, kc)           # (B,H,L,L) MXU
-        W = S * jnp.exp(D)
-        num_local = jnp.einsum("bhts,bhsv->bhtv", W, vc)    # (B,H,L,dv)
-        nvec_local = jnp.einsum("bhts,bhsd->bhtd", jnp.exp(D), kc)
+        expD = jnp.exp(D)
+        S = mm("bhtd,bhsd->bhts", qc, kc)                   # (B,H,L,L) MXU
+        W = S * expD
+        num_local = mm("bhts,bhsv->bhtv", W.astype(md), vc)  # (B,H,L,dv)
+        nvec_local = mm("bhts,bhsd->bhtd", expD.astype(md), kc)
 
         scale_prev = jnp.exp(b + m[..., None] - mu)         # (B,H,L)
-        num_prev = jnp.einsum("bhtd,bhdv->bhtv", qc, C) * scale_prev[..., None]
+        num_prev = mm("bhtd,bhdv->bhtv", qc, C.astype(md)) * scale_prev[..., None]
         nvec_prev = n[..., None, :] * scale_prev[..., None]  # (B,H,L,dqk)
 
         num = num_local + num_prev
         nvec = nvec_local + nvec_prev
-        qn = jnp.einsum("bhtd,bhtd->bht", qc, nvec)
+        qn = jnp.einsum("bhtd,bhtd->bht", qc.astype(f32), nvec)
         denom = jnp.maximum(jnp.abs(qn), jnp.exp(-mu))
-        h = num / denom[..., None]                          # (B,H,L,dv)
+        h = num / denom[..., None]                          # (B,H,L,dv) f32
 
         # --- inter-chunk state ------------------------------------------ #
         a_max = a_runmax[..., -1]
         m_new = jnp.maximum(m + bL, bL + a_max)
         w_t = jnp.exp(bL[..., None] + a - m_new[..., None])  # (B,H,L)
+        kw = kc * w_t[..., None].astype(md)
         C_new = (
             jnp.exp(m + bL - m_new)[..., None, None] * C
-            + jnp.einsum("bhtd,bhtv->bhdv", kc * w_t[..., None], vc)
+            + mm("bhtd,bhtv->bhdv", kw, vc)
         )
         n_new = (
             jnp.exp(m + bL - m_new)[..., None] * n
-            + jnp.sum(kc * w_t[..., None], axis=2)
+            + jnp.sum(kw.astype(f32), axis=2)
         )
         return (C_new, n_new, m_new), h
 
@@ -221,10 +231,18 @@ class MLSTMLayer(nn.Module):
         C0 = state["C"].astype(jnp.float32)
         n0 = state["n"].astype(jnp.float32)
         m0 = state["m"].astype(jnp.float32)
-        qkvif = (
-            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
-            i_raw.astype(jnp.float32), f_raw.astype(jnp.float32),
-        )
+        if self.kernel_impl == "chunkwise":
+            # q/k/v stay in the model dtype so the chunk einsums hit the
+            # bf16 MXU path (f32 accumulation via preferred_element_type);
+            # only the gate pre-activations are promoted.
+            qkvif = (q, k, v,
+                     i_raw.astype(jnp.float32), f_raw.astype(jnp.float32))
+        else:
+            qkvif = (
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32),
+                i_raw.astype(jnp.float32), f_raw.astype(jnp.float32),
+            )
         if self.kernel_impl == "recurrent":
             h, C_T, n_T, m_T = mlstm_recurrent(
                 *qkvif, C0, n0, m0, self.gate_soft_cap,

@@ -1,0 +1,395 @@
+"""Fused lane-major LucyRNN cell: gate math + both scans in ONE kernel pass,
+with a fused backward that emits d_gates directly.
+
+Round-3's gap table (BASELINE.md) shows the non-matmul backward machinery —
+reverse-adjoint scan kernels plus the XLA "adjoint reduce/mul" fusions that
+turn scan adjoints into d_gates — costing ~344 ms of the 686 ms flagship
+dispatch at 77-85 % of HBM peak.  Near-peak *per pass* but structurally
+pass-heavy: the split design materializes coefficients, λ planes, and five
+f32 adjoint planes in HBM between every stage.
+
+This module removes the passes instead of speeding them up:
+
+  forward  (one kernel): read gates (B,T,7D) once → grouped-RMS gate math
+           in registers (reference lucyrnn_triton.py:214-226 semantics,
+           same as ops/lucy_pallas.py:lucy_gate_coeffs) → s-scan → tanh →
+           h-scan (Hillis-Steele over the time chunk) → write h_all, s_all.
+           HBM: 7 plane-reads + 2 plane-writes (vs ~14r+8w split).
+  backward (one kernel, reverse time-chunk grid): recompute the gate chain
+           from gates (and capture its VJP in-register via jax.vjp), run
+           BOTH adjoint recurrences λ_t = g_t + a_{t+1}·λ_{t+1} as suffix
+           Hillis-Steele compositions, and apply the captured VJP → write
+           d_gates (B,T,7D) directly.  HBM: ~13 plane-reads + 7 writes
+           (vs ~30+ split).  No λ, coefficient, or adjoint plane ever
+           touches HBM.
+
+Unlike round-1's losing ``pallas-fused`` kernel (4-D (B,T,7,D) gates → a
+mandatory retiling pass), the gates here stay in the lane-major (B,T,7·D)
+layout the projection matmul writes: each gate is a lane-aligned slice at a
+multiple of D (D % 128 == 0), so slicing is free.  The gate bias is applied
+in-kernel (the projection returns it unapplied — models/lucyrnn.py:GateProj).
+
+The layout also leaves the (B,T,7D) cotangent exactly where the backward
+gate matmuls (wgrad/dgrad) want it.  Selected via
+``model.lucyrnn.kernel_impl = "fused-lm"``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-6
+_LANE = 128
+
+
+def _gate_chain(g7):
+    """Raw (biased) gate tiles → scan coefficients; the differentiable core
+    shared by forward and backward (via jax.vjp in-register).
+
+    Mirrors ops/lucy_pallas.py:lucy_gate_coeffs (reference
+    lucyrnn_triton.py:214-226): grouped RMS + sigmoid/tanh squashing."""
+    r, z, k, v, h_pre, decay, alpha = g7
+    rms_rz = jnp.sqrt((r * r + z * z) / 2 + _EPS)
+    rms_kv2 = (k * k + v * v) / 2 + _EPS
+    rms_kv = jnp.sqrt(rms_kv2)
+    z_n = jax.nn.sigmoid(z / rms_rz)
+    decay_n = jax.nn.sigmoid(decay / jnp.sqrt(decay * decay + _EPS))
+    alpha_n = jax.nn.sigmoid(alpha / jnp.sqrt(alpha * alpha + _EPS))
+    h_pre_n = h_pre / jnp.sqrt(h_pre * h_pre + _EPS)
+    kv = (k / rms_kv) * (v / rms_kv) / (rms_kv2 + _EPS)
+    a_s = decay_n
+    b_s = alpha_n * kv
+    a_h = z_n
+    bh_c = 1.0 - z_n
+    return a_s, b_s, a_h, bh_c, h_pre_n
+
+
+def _split_gates(g_tile, bias_tile, D):
+    """(C, 7D) bf16 tile + (8, 7D) bias → seven (C, D) f32 gate tiles."""
+    out = []
+    for i in range(7):
+        g = g_tile[:, i * D:(i + 1) * D].astype(jnp.float32)
+        out.append(g + bias_tile[0:1, i * D:(i + 1) * D].astype(jnp.float32))
+    return tuple(out)
+
+
+def _prefix_hs(A, Bv, C):
+    """Inclusive prefix composition (info flows UP: row t sees t' ≤ t)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
+    k = 1
+    while k < C:
+        a_sh = jnp.where(row >= k, pltpu.roll(A, k, 0), 1.0)
+        b_sh = jnp.where(row >= k, pltpu.roll(Bv, k, 0), 0.0)
+        Bv = A * b_sh + Bv
+        A = A * a_sh
+        k *= 2
+    return A, Bv
+
+
+def _suffix_hs(A, Bv, C):
+    """Inclusive suffix composition (info flows DOWN: row t sees t' ≥ t)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
+    k = 1
+    while k < C:
+        a_sh = jnp.where(row < C - k, pltpu.roll(A, C - k, 0), 1.0)
+        b_sh = jnp.where(row < C - k, pltpu.roll(Bv, C - k, 0), 0.0)
+        Bv = A * b_sh + Bv
+        A = A * a_sh
+        k *= 2
+    return A, Bv
+
+
+# =========================================================================== #
+# Forward
+# =========================================================================== #
+
+
+def _fwd_kernel(C: int, D: int, T: int):
+    def kernel(h0_ref, s0_ref, bias_ref, gates_ref,
+               h_out_ref, s_out_ref, hc_ref, sc_ref):
+        it = pl.program_id(1)
+
+        @pl.when(it == 0)
+        def _():
+            hc_ref[:] = h0_ref[0].astype(jnp.float32)
+            sc_ref[:] = s0_ref[0].astype(jnp.float32)
+
+        g7 = _split_gates(gates_ref[0], bias_ref, D)
+        a_s, b_s, a_h, bh_c, h_pre_n = _gate_chain(g7)
+
+        if T % C:
+            # ragged tail rows hold Mosaic edge-pad garbage → identity maps
+            valid = (it * C + jax.lax.broadcasted_iota(
+                jnp.int32, (C, D), 0)) < T
+            a_s = jnp.where(valid, a_s, 1.0)
+            b_s = jnp.where(valid, b_s, 0.0)
+            a_h = jnp.where(valid, a_h, 1.0)
+
+        As, Bs = _prefix_hs(a_s, b_s, C)
+        s = Bs + As * sc_ref[0:1, :]
+        c = jnp.tanh(h_pre_n + s)
+        b_h = bh_c * c
+        if T % C:
+            # mask the PRODUCT: c is NaN-prone on garbage rows
+            b_h = jnp.where(valid, b_h, 0.0)
+        Ah, Bh = _prefix_hs(a_h, b_h, C)
+        h = Bh + Ah * hc_ref[0:1, :]
+
+        h_out_ref[0] = h.astype(h_out_ref.dtype)
+        s_out_ref[0] = s.astype(s_out_ref.dtype)
+        hc_ref[:] = jnp.broadcast_to(h[C - 1:C, :], hc_ref.shape)
+        sc_ref[:] = jnp.broadcast_to(s[C - 1:C, :], sc_ref.shape)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret", "out_dtype"))
+def _fused_lm_fwd_impl(gates, bias, h0, s0, chunk: int = 128,
+                       interpret: bool = False, out_dtype=None):
+    out_dtype = gates.dtype if out_dtype is None else out_dtype
+    B, T, G7 = gates.shape
+    D = G7 // 7
+    assert D % _LANE == 0, f"hidden dim {D} must be a multiple of {_LANE}"
+    C = min(chunk, max(8, T))
+    grid = (B, -(-T // C))
+
+    h0_t = jnp.broadcast_to(h0[:, None, :], (B, 8, D))
+    s0_t = jnp.broadcast_to(s0[:, None, :], (B, 8, D))
+    bias_t = jnp.broadcast_to(bias[None, :].astype(jnp.float32), (8, G7))
+
+    init = pl.BlockSpec((1, 8, D), lambda ib, it: (ib, 0, 0),
+                        memory_space=pltpu.VMEM)
+    h_all, s_all = pl.pallas_call(
+        _fwd_kernel(C, D, T),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, D), out_dtype),
+            jax.ShapeDtypeStruct((B, T, D), out_dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            init, init,
+            pl.BlockSpec((8, G7), lambda ib, it: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, G7), lambda ib, it: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, C, D), lambda ib, it: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, D), lambda ib, it: (ib, it, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, D), jnp.float32),
+            pltpu.VMEM((8, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(h0_t, s0_t, bias_t, gates)
+    return h_all, s_all
+
+
+# =========================================================================== #
+# Backward
+# =========================================================================== #
+
+
+def _bwd_kernel(C: int, D: int, T: int, nchunks: int):
+    def kernel(h0_ref, s0_ref, bias_ref, gates_ref,
+               s_al_ref, h_al_ref, s_pv_ref, h_pv_ref, gh_ref, gs_ref,
+               dg_ref, dh0_ref, ds0_ref,
+               lamh_c, lams_c, ahn_ref, asn_ref):
+        it = pl.program_id(1)
+        first_chunk = it == nchunks - 1   # earliest in time, processed last
+
+        @pl.when(it == 0)
+        def _():
+            lamh_c[:] = jnp.zeros_like(lamh_c)
+            lams_c[:] = jnp.zeros_like(lams_c)
+            ahn_ref[:] = jnp.ones_like(ahn_ref)
+            asn_ref[:] = jnp.ones_like(asn_ref)
+
+        g7 = _split_gates(gates_ref[0], bias_ref, D)
+        (a_s, b_s, a_h, bh_c, h_pre_n), chain_vjp = jax.vjp(_gate_chain, g7)
+
+        g_h = gh_ref[0].astype(jnp.float32)
+        g_s = gs_ref[0].astype(jnp.float32)
+        s_al = s_al_ref[0].astype(jnp.float32)
+        h_al = h_al_ref[0].astype(jnp.float32)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (C, D), 0)
+        if T % C:
+            # ragged tail rows (only in the chunk processed at it == 0):
+            # identity maps + zero cotangents so λ stays 0 through them
+            grow = (nchunks - 1 - it) * C + row
+            valid = grow < T
+            a_h = jnp.where(valid, a_h, 1.0)
+            a_s = jnp.where(valid, a_s, 1.0)
+            g_h = jnp.where(valid, g_h, 0.0)
+            g_s = jnp.where(valid, g_s, 0.0)
+
+        # s_prev/h_prev: global shift by one step.  Row 0 takes the LAST row
+        # of the previous-in-time chunk (second HBM view, one block earlier);
+        # the very first chunk takes (h0, s0).
+        def shifted(al, pv_ref, init_ref):
+            up = pltpu.roll(al, 1, 0)                      # row t ← al[t-1]
+            boundary = jnp.where(
+                first_chunk, init_ref[0, 0:1, :].astype(jnp.float32),
+                pv_ref[0, C - 1:C, :].astype(jnp.float32))
+            return jnp.where(row == 0, boundary, up)
+
+        s_prev = shifted(s_al, s_pv_ref, s0_ref)
+        h_prev = shifted(h_al, h_pv_ref, h0_ref)
+
+        # A'[t] = a[t+1]: in-chunk roll; row C−1 takes row 0 of the LATER
+        # chunk (processed before us → saved in scratch).
+        def a_shift(a, nref):
+            a_up = pltpu.roll(a, C - 1, 0)
+            return jnp.where(row == C - 1, nref[0:1, :], a_up)
+
+        a_h_sh = a_shift(a_h, ahn_ref)
+        a_s_sh = a_shift(a_s, asn_ref)
+        ahn_ref[:] = jnp.broadcast_to(a_h[0:1, :], ahn_ref.shape)
+        asn_ref[:] = jnp.broadcast_to(a_s[0:1, :], asn_ref.shape)
+
+        # h-recurrence adjoint: λ_t = g_h_t + a_h_{t+1}·λ_{t+1}
+        Ah, Bh = _suffix_hs(a_h_sh, g_h, C)
+        lam_h = Bh + Ah * lamh_c[0:1, :]
+        lamh_c[:] = jnp.broadcast_to(lam_h[0:1, :], lamh_c.shape)
+
+        c = jnp.tanh(h_pre_n + s_al)
+        d_a_h = lam_h * h_prev
+        d_bhc = lam_h * c
+        d_pre = (lam_h * bh_c) * (1.0 - c * c)
+
+        # s-recurrence adjoint (external g_s + internal path through c)
+        gs_eff = g_s + d_pre
+        if T % C:
+            gs_eff = jnp.where(valid, gs_eff, 0.0)
+        As, Bs = _suffix_hs(a_s_sh, gs_eff, C)
+        lam_s = Bs + As * lams_c[0:1, :]
+        lams_c[:] = jnp.broadcast_to(lam_s[0:1, :], lams_c.shape)
+
+        d_a_s = lam_s * s_prev
+        (d_g7,) = chain_vjp((d_a_s, lam_s, d_a_h, d_bhc, d_pre))
+
+        dg = jnp.concatenate(d_g7, axis=1)                  # (C, 7D)
+        if T % C:
+            # zero the NaN-prone garbage rows before the cast (their writes
+            # are OOB-dropped anyway, but keep the tile clean)
+            grow7 = (nchunks - 1 - it) * C + jax.lax.broadcasted_iota(
+                jnp.int32, (C, 7 * D), 0)
+            dg = jnp.where(grow7 < T, dg, 0.0)
+        dg_ref[0] = dg.astype(dg_ref.dtype)
+
+        @pl.when(first_chunk)
+        def _():
+            dh0 = lam_h[0:1, :] * a_h[0:1, :]
+            ds0 = lam_s[0:1, :] * a_s[0:1, :]
+            dh0_ref[:] = jnp.broadcast_to(dh0, dh0_ref.shape
+                                          ).astype(dh0_ref.dtype)
+            ds0_ref[:] = jnp.broadcast_to(ds0, ds0_ref.shape
+                                          ).astype(ds0_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def _fused_lm_bwd_impl(gates, bias, h0, s0, h_all, s_all, g_h, g_s,
+                       chunk: int = 128, interpret: bool = False):
+    B, T, G7 = gates.shape
+    D = G7 // 7
+    C = min(chunk, max(8, T))
+    nchunks = -(-T // C)
+    grid = (B, nchunks)
+
+    h0_t = jnp.broadcast_to(h0[:, None, :], (B, 8, D))
+    s0_t = jnp.broadcast_to(s0[:, None, :], (B, 8, D))
+    bias_t = jnp.broadcast_to(bias[None, :].astype(jnp.float32), (8, G7))
+
+    init = pl.BlockSpec((1, 8, D), lambda ib, it: (ib, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev = lambda w: pl.BlockSpec(
+        (1, C, w), lambda ib, it, n=nchunks: (ib, n - 1 - it, 0),
+        memory_space=pltpu.VMEM)
+    # previous-in-time chunk (clamped at 0; the first chunk overrides its
+    # boundary row with h0/s0 so the clamped duplicate is never used)
+    prev = pl.BlockSpec(
+        (1, C, D),
+        lambda ib, it, n=nchunks: (ib, jnp.maximum(n - 2 - it, 0), 0),
+        memory_space=pltpu.VMEM)
+
+    dg, dh0, ds0 = pl.pallas_call(
+        _bwd_kernel(C, D, T, nchunks),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, G7), gates.dtype),
+            jax.ShapeDtypeStruct((B, 8, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, D), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            init, init,
+            pl.BlockSpec((8, G7), lambda ib, it: (0, 0),
+                         memory_space=pltpu.VMEM),
+            rev(G7),                      # gates
+            rev(D), rev(D),               # s_all, h_all aligned
+            prev, prev,                   # s_all, h_all previous chunk
+            rev(D), rev(D),               # g_h, g_s
+        ],
+        out_specs=(
+            rev(G7),
+            pl.BlockSpec((1, 8, D), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, D), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, D), jnp.float32),
+            pltpu.VMEM((8, D), jnp.float32),
+            pltpu.VMEM((8, D), jnp.float32),
+            pltpu.VMEM((8, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(h0_t, s0_t, bias_t, gates, s_all, h_all, s_all, h_all, g_h, g_s)
+    return dg, dh0[:, 0, :], ds0[:, 0, :]
+
+
+# =========================================================================== #
+# custom_vjp wrapper
+# =========================================================================== #
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def lucy_cell_fused_lm(gates, bias, h0, s0, chunk: int = 128):
+    """Fused lane-major 7-gate cell: (gates (B,T,7D) unbiased, bias (7D),
+    h0, s0) → (h_all, s_all).  No frame-mask support — callers with
+    mask_state_updates fall back to the split path (models/lucyrnn.py)."""
+    return _fused_lm_fwd_impl(gates, bias, h0, s0, chunk=chunk)
+
+
+def _lm_fwd(gates, bias, h0, s0, chunk):
+    h_all, s_all = _fused_lm_fwd_impl(gates, bias, h0, s0, chunk=chunk)
+    return (h_all, s_all), (gates, bias, h0, s0, h_all, s_all)
+
+
+def _lm_bwd(chunk, res, cotangents):
+    gates, bias, h0, s0, h_all, s_all = res
+    g_h, g_s = cotangents
+    dg, dh0, ds0 = _fused_lm_bwd_impl(
+        gates, bias, h0, s0, h_all, s_all, g_h, g_s, chunk=chunk)
+    d_bias = jnp.sum(dg.astype(jnp.float32), axis=(0, 1))
+    return (dg, d_bias.astype(bias.dtype), dh0.astype(h0.dtype),
+            ds0.astype(s0.dtype))
+
+
+lucy_cell_fused_lm.defvjp(_lm_fwd, _lm_bwd)
