@@ -26,7 +26,7 @@ import time
 
 def run_one(B=64, K=8, n_disp=2, seconds=16.0, kernel="", ctc_impl="auto",
             dtype="bfloat16", encoder="lucyrnn", mode="ctc", U=128,
-            xlstm_kernel="", xlstm_chunk="", rnnt_tb=""):
+            xlstm_kernel="", xlstm_chunk="", rnnt_tb="", rnnt_band=""):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -55,6 +55,8 @@ def run_one(B=64, K=8, n_disp=2, seconds=16.0, kernel="", ctc_impl="auto",
         over += ["--model.xlstm.chunk_size", xlstm_chunk]
     if rnnt_tb:
         over += ["--train.rnnt_time_block", rnnt_tb]
+    if rnnt_band:
+        over += ["--train.rnnt_band", rnnt_band]
     cfg = Config().apply_overrides(over)
 
     sr = cfg.data.batch_samplerate
@@ -139,6 +141,7 @@ def main():
         xlstm_kernel=env("BENCH_XLSTM_KERNEL", ""),
         xlstm_chunk=env("BENCH_XLSTM_CHUNK", ""),
         rnnt_tb=env("BENCH_RNNT_TIME_BLOCK", ""),
+        rnnt_band=env("BENCH_RNNT_BAND", ""),
     )
     if env("BENCH_MODES", "") == "sweep":
         # per-mode records (BASELINE.md round-3 table), one JSON line each

@@ -164,6 +164,12 @@ class TrainConfig:
     # Time-block per Pallas joint grid step; 8 keeps the backward tile under
     # the 16 MB VMEM budget at vocab 1024.
     rnnt_time_block: int = 8
+    # Banded (pruned) transducer: restrict u per time-block to a window of
+    # this width centered on each utterance's alignment diagonal
+    # (ops/rnnt_band.py) — cuts the T×U×V softmax work by ~U/band.  0 = the
+    # exact full lattice (default; the exact loss is proven VPU-exp-bound at
+    # U=128, so banding is the remaining throughput lever).
+    rnnt_band: int = 0
     epochs: int = 10
     steps: Optional[int] = None
     optim: OptimConfig = field(default_factory=OptimConfig)

@@ -204,7 +204,7 @@ def _fused_lm_fwd_impl(gates, bias, h0, s0, chunk: int = 128,
 def _bwd_kernel(C: int, D: int, T: int, nchunks: int):
     def kernel(h0_ref, s0_ref, bias_ref, gates_ref,
                s_al_ref, h_al_ref, s_pv_ref, h_pv_ref, gh_ref, gs_ref,
-               dg_ref, dh0_ref, ds0_ref,
+               dg_ref, dh0_ref, ds0_ref, dbias_ref,
                lamh_c, lams_c, ahn_ref, asn_ref):
         it = pl.program_id(1)
         first_chunk = it == nchunks - 1   # earliest in time, processed last
@@ -282,12 +282,21 @@ def _bwd_kernel(C: int, D: int, T: int, nchunks: int):
 
         dg = jnp.concatenate(d_g7, axis=1)                  # (C, 7D)
         if T % C:
-            # zero the NaN-prone garbage rows before the cast (their writes
-            # are OOB-dropped anyway, but keep the tile clean)
+            # zero the NaN-prone garbage rows: their d_gates writes are
+            # OOB-dropped anyway, but they must not poison the in-kernel
+            # bias-grad accumulator
             grow7 = (nchunks - 1 - it) * C + jax.lax.broadcasted_iota(
                 jnp.int32, (C, 7 * D), 0)
             dg = jnp.where(grow7 < T, dg, 0.0)
         dg_ref[0] = dg.astype(dg_ref.dtype)
+
+        # bias gradient: fold the column-sum into this kernel (the XLA
+        # reduce_sum over the materialized d_gates costs a full extra HBM
+        # read — measured 7.8 ms/layer/dispatch at the flagship shapes)
+        @pl.when(it == 0)
+        def _():
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dbias_ref[0, 0:1, :] += jnp.sum(dg, axis=0, keepdims=True)
 
         @pl.when(first_chunk)
         def _():
@@ -326,12 +335,13 @@ def _fused_lm_bwd_impl(gates, bias, h0, s0, h_all, s_all, g_h, g_s,
         lambda ib, it, n=nchunks: (ib, jnp.maximum(n - 2 - it, 0), 0),
         memory_space=pltpu.VMEM)
 
-    dg, dh0, ds0 = pl.pallas_call(
+    dg, dh0, ds0, dbias = pl.pallas_call(
         _bwd_kernel(C, D, T, nchunks),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, G7), gates.dtype),
             jax.ShapeDtypeStruct((B, 8, D), jnp.float32),
             jax.ShapeDtypeStruct((B, 8, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, 8, G7), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -349,6 +359,8 @@ def _fused_lm_bwd_impl(gates, bias, h0, s0, h_all, s_all, g_h, g_s,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, D), lambda ib, it: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, G7), lambda ib, it: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((8, D), jnp.float32),
@@ -361,7 +373,7 @@ def _fused_lm_bwd_impl(gates, bias, h0, s0, h_all, s_all, g_h, g_s,
         ),
         interpret=interpret,
     )(h0_t, s0_t, bias_t, gates, s_all, h_all, s_all, h_all, g_h, g_s)
-    return dg, dh0[:, 0, :], ds0[:, 0, :]
+    return dg, dh0[:, 0, :], ds0[:, 0, :], jnp.sum(dbias[:, 0, :], axis=0)
 
 
 # =========================================================================== #
@@ -385,9 +397,8 @@ def _lm_fwd(gates, bias, h0, s0, chunk):
 def _lm_bwd(chunk, res, cotangents):
     gates, bias, h0, s0, h_all, s_all = res
     g_h, g_s = cotangents
-    dg, dh0, ds0 = _fused_lm_bwd_impl(
+    dg, dh0, ds0, d_bias = _fused_lm_bwd_impl(
         gates, bias, h0, s0, h_all, s_all, g_h, g_s, chunk=chunk)
-    d_bias = jnp.sum(dg.astype(jnp.float32), axis=(0, 1))
     return (dg, d_bias.astype(bias.dtype), dh0.astype(h0.dtype),
             ds0.astype(s0.dtype))
 

