@@ -129,6 +129,8 @@ def mlstm_chunkwise(
             x.reshape(shp[0], shp[1], NC, L, *shp[3:]), 2, 0
         )
 
+    # (an index-based scan with per-chunk dynamic slices was measured and
+    # LOSES: 7024 vs 7352 — the pre-split copy lets XLA pipeline the scan)
     qs, ks, vs = split(q), split(k), split(v)
     is_, lfs = split(i_c), split(logf)
 
@@ -184,9 +186,12 @@ def mlstm_chunkwise(
             jnp.exp(m + bL - m_new)[..., None] * n
             + jnp.sum(kw.astype(f32), axis=2)
         )
-        return (C_new, n_new, m_new), h
+        # stack h in the model dtype: the scan's dynamic_update_slice
+        # stacking of f32 h measured ~60 ms/dispatch (half of it the f32)
+        return (C_new, n_new, m_new), h.astype(md)
 
-    (C_T, n_T, m_T), hs = lax.scan(chunk_step, (C0, n0, m0), (qs, ks, vs, is_, lfs))
+    (C_T, n_T, m_T), hs = lax.scan(
+        chunk_step, (C0, n0, m0), (qs, ks, vs, is_, lfs))
     h = jnp.moveaxis(hs, 0, 2).reshape(B, H, Tp, dv)[:, :, :T]
     return h, C_T, n_T, m_T
 
