@@ -88,7 +88,17 @@ def lucy_cell_parallel(
         # frame-mask support: masked calls fall through to the split path.
         from statecatcher_tpu.ops.lucy_fused_lm import lucy_cell_fused_lm
 
-        chunk = int(impl.split("@", 1)[1]) if "@" in impl else 128
+        # "fused-lm@32" = one chunk for both passes; "fused-lm@32/16" =
+        # separate forward/backward time-chunks
+        if "@" in impl:
+            spec = impl.split("@", 1)[1]
+            if "/" in spec:
+                cf, cb = spec.split("/", 1)
+                chunk = (int(cf), int(cb))
+            else:
+                chunk = int(spec)
+        else:
+            chunk = 128
         if gates.ndim == 4:
             B, T, _, D = gates.shape
             gates = gates.reshape(B, T, 7 * D)

@@ -381,16 +381,25 @@ def _fused_lm_bwd_impl(gates, bias, h0, s0, h_all, s_all, g_h, g_s,
 # =========================================================================== #
 
 
+def _chunk_pair(chunk):
+    """chunk spec → (fwd_chunk, bwd_chunk); an int applies to both."""
+    if isinstance(chunk, tuple):
+        return chunk
+    return (chunk, chunk)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def lucy_cell_fused_lm(gates, bias, h0, s0, chunk: int = 128):
+def lucy_cell_fused_lm(gates, bias, h0, s0, chunk=128):
     """Fused lane-major 7-gate cell: (gates (B,T,7D) unbiased, bias (7D),
-    h0, s0) → (h_all, s_all).  No frame-mask support — callers with
+    h0, s0) → (h_all, s_all).  ``chunk`` is an int or a (fwd, bwd) tuple of
+    time-chunk sizes.  No frame-mask support — callers with
     mask_state_updates fall back to the split path (models/lucyrnn.py)."""
-    return _fused_lm_fwd_impl(gates, bias, h0, s0, chunk=chunk)
+    return _fused_lm_fwd_impl(gates, bias, h0, s0, chunk=_chunk_pair(chunk)[0])
 
 
 def _lm_fwd(gates, bias, h0, s0, chunk):
-    h_all, s_all = _fused_lm_fwd_impl(gates, bias, h0, s0, chunk=chunk)
+    h_all, s_all = _fused_lm_fwd_impl(
+        gates, bias, h0, s0, chunk=_chunk_pair(chunk)[0])
     return (h_all, s_all), (gates, bias, h0, s0, h_all, s_all)
 
 
@@ -398,7 +407,8 @@ def _lm_bwd(chunk, res, cotangents):
     gates, bias, h0, s0, h_all, s_all = res
     g_h, g_s = cotangents
     dg, dh0, ds0, d_bias = _fused_lm_bwd_impl(
-        gates, bias, h0, s0, h_all, s_all, g_h, g_s, chunk=chunk)
+        gates, bias, h0, s0, h_all, s_all, g_h, g_s,
+        chunk=_chunk_pair(chunk)[1])
     return (dg, d_bias.astype(bias.dtype), dh0.astype(h0.dtype),
             ds0.astype(s0.dtype))
 

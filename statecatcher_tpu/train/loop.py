@@ -152,6 +152,15 @@ def train(
     import dataclasses
 
     model_cfg = dataclasses.replace(cfg.model, vocab_size=vocab_size)
+    if cfg.mesh.model_parallel > 1 and model_cfg.lucyrnn.kernel_impl == "auto":
+        # Tensor parallelism lane-shards the fused (B,T,7D) gate tensor via
+        # GSPMD; the fused-lm Pallas cell is an opaque custom call GSPMD
+        # cannot partition along those lanes, so TP runs keep the split
+        # path (XLA coeff math + Pallas scans), which GSPMD partitions fine.
+        model_cfg = dataclasses.replace(
+            model_cfg,
+            lucyrnn=dataclasses.replace(model_cfg.lucyrnn, kernel_impl="pallas"),
+        )
     fdim = frontend_feat_dim(cfg.frontend)
     model = build_speech_model(model_cfg, fdim, cfg.train.mode)
 
