@@ -63,11 +63,20 @@ def test_boundary_trimmed_lens_caps_at_overlap():
     ]
     in_lens = np.array([200, 200, 180], np.int32)
     out = boundary_trimmed_lens(in_lens, metas, sr, hop, stack_order=1)
-    assert out[0] == 124                 # 1.24 s × 100 frames/s
+    # 1.24 s × 100 frames/s + the 2-frame CTC emission-latency margin
+    assert out[0] == 126
     assert out[1] == 200 and out[2] == 180
+    # margin knob off → the raw overlap cut
+    out0 = boundary_trimmed_lens(in_lens, metas, sr, hop, stack_order=1,
+                                 latency_margin_frames=0)
+    assert out0[0] == 124
     # stack_order folds frames
-    out2 = boundary_trimmed_lens(in_lens, metas, sr, hop, stack_order=2)
+    out2 = boundary_trimmed_lens(in_lens, metas, sr, hop, stack_order=2,
+                                 latency_margin_frames=0)
     assert out2[0] == 62
+    # the margin never extends past the true segment length
+    short = boundary_trimmed_lens(np.array([124], np.int32), metas[:1], sr, hop)
+    assert short[0] == 124
 
 
 def test_dedup_reference_text():
