@@ -14,7 +14,9 @@ from statecatcher_tpu.models.lucyrnn import lucy_cell_parallel
 
 
 @pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
+def _interpret(request, monkeypatch):
+    if "tpu" in request.keywords:
+        return  # real-chip test: run the compiled kernels
     monkeypatch.setattr(
         lm, "_fused_lm_fwd_impl",
         functools.partial(lm._fused_lm_fwd_impl.__wrapped__, interpret=True))
@@ -115,3 +117,30 @@ def test_fused_lm_model_path_fallbacks(rng):
         gates, h0, s0, impl="fused-lm@16", bias=bias, frame_mask=mask)
     np.testing.assert_allclose(np.asarray(h3), np.asarray(h2),
                                rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.tpu
+def test_fused_lm_on_chip_matches_split(rng):
+    """Real-chip compiled kernels vs the split path at flagship-like shapes
+    (f32 so the comparison is conditioning-limited, not dtype-limited)."""
+    B, T, D, chunk = 4, 300, 512, 32
+    gates, bias, h0, s0 = _data(rng, B, T, D)
+    gates = gates * 0.3
+    w1 = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    def split_loss(gates, bias, h0, s0):
+        h, hT, sT = lucy_cell_parallel(gates, h0, s0, impl="pallas", bias=bias)
+        return jnp.sum(h * w1) + jnp.sum(hT * hT) + jnp.sum(sT * sT)
+
+    def lm_loss(gates, bias, h0, s0):
+        h, s = lm.lucy_cell_fused_lm(gates, bias, h0, s0, chunk)
+        return (jnp.sum(h * w1) + jnp.sum(h[:, -1] * h[:, -1])
+                + jnp.sum(s[:, -1] * s[:, -1]))
+
+    rv, rg = jax.value_and_grad(split_loss, argnums=(0, 1, 2, 3))(
+        gates, bias, h0, s0)
+    lv, lg = jax.value_and_grad(lm_loss, argnums=(0, 1, 2, 3))(
+        gates, bias, h0, s0)
+    np.testing.assert_allclose(float(lv), float(rv), rtol=1e-4)
+    for name, a, b in zip(["d_gates", "d_bias", "dh0", "ds0"], rg, lg):
+        _assert_close_chaotic(np.asarray(a), np.asarray(b), name)

@@ -144,3 +144,19 @@ def test_band_offsets_cover_corner(rng):
         # monotone non-decreasing offsets (the DP shift assumes δ ≥ 0)
         assert (np.diff(o[b]) >= 0).all()
         assert (o[b] % 8 == 0).all()
+
+
+@pytest.mark.tpu
+def test_banded_on_chip_full_band_equals_exact(rng):
+    """Compiled banded kernels on the real chip: full-width band == exact."""
+    rb._INTERPRET[0] = False
+    enc, pred, jk, jb, labels, t_lens, u_lens = _inputs(rng, B=2, T=32, U=12,
+                                                        J=64, V=256)
+    t_lens = jnp.asarray([32, 25], np.int32)
+    u_lens = jnp.asarray([12, 7], np.int32)
+    U = labels.shape[1]
+    exact = rnnt_loss_fused(enc, pred, jk, jb, labels, t_lens, u_lens,
+                            blank_id=0)
+    banded = rb.rnnt_loss_banded(enc, pred, jk, jb, labels, t_lens, u_lens,
+                                 blank_id=0, band=U + 1)
+    np.testing.assert_allclose(float(banded), float(exact), rtol=1e-4)
