@@ -124,6 +124,7 @@ def evaluate(
             # recording, extracted after its last segment.
             beam_state = totals = None
             rnnt_state = None
+            prev_metas = None   # previous segment's metadata (beam dedup)
             for seg_idx in range(K):
                 audio, mask, texts = stack_segment_slice(batch, seg_idx, target_samples)
                 logits, enc_p, in_lens, carry = forward(
@@ -137,6 +138,7 @@ def evaluate(
                     else None
                     for i in range(n_rows)
                 ]
+                raw_lens = in_lens
                 in_lens = jnp.asarray(boundary_trimmed_lens(
                     np.asarray(in_lens), metas_k, sr,
                     cfg.frontend.hop_length, stack_order,
@@ -163,14 +165,50 @@ def evaluate(
                             enc_p, *rnnt_tables, in_lens, blank_id=blank_id,
                             init_state=rnnt_state,
                         )
-                elif decoder == "beam":
+                elif decoder in ("beam", "greedy"):
+                    # Boundary dedup for STATEFUL CTC decode: don't end-trim
+                    # this segment (trimming loses late emissions of the last
+                    # pre-boundary word, and a persistent beam state would
+                    # re-commit the duplicated cue's first characters in the
+                    # next one — measured as doubled chars, "ddelta");
+                    # instead decode each segment in full and FORCE-BLANK the
+                    # frames of the next segment that re-cover audio this one
+                    # already decoded, so each instant is committed exactly
+                    # once in stream order.  Fixture WER (6000 steps): beam
+                    # 0.181 → 0.069, greedy 0.125 → (measured below in
+                    # BASELINE.md) vs the trim-based scheme.
                     lp = jax.nn.log_softmax(logits, axis=-1)
-                    if beam_state is None:
-                        beam_state = beam_init(n_rows, beam, 512)
-                    beam_state, totals = ctc_beam_search(
-                        lp, in_lens, beam=beam, blank_id=blank_id, max_len=512,
-                        init_state=beam_state,
-                    )
+                    fps = sr / float(cfg.frontend.hop_length
+                                     * max(1, stack_order))
+                    ofs = np.zeros(n_rows, np.int32)
+                    for i in range(n_rows):
+                        pm = prev_metas[i] if prev_metas else None
+                        if pm and pm.get("overlap_start") is not None:
+                            ofs[i] = max(0, int(
+                                (pm["end"] - pm["overlap_start"]) * fps))
+                    if ofs.any():
+                        frames_ix = jnp.arange(lp.shape[1])[None, :, None]
+                        blank_row = jnp.full(
+                            (lp.shape[-1],), -1e30, lp.dtype
+                        ).at[blank_id].set(0.0)
+                        lp = jnp.where(
+                            frames_ix < jnp.asarray(ofs)[:, None, None],
+                            blank_row, lp,
+                        )
+                    if decoder == "beam":
+                        if beam_state is None:
+                            beam_state = beam_init(n_rows, beam, 512)
+                        beam_state, totals = ctc_beam_search(
+                            lp, raw_lens, beam=beam, blank_id=blank_id,
+                            max_len=512, init_state=beam_state,
+                        )
+                    else:
+                        preds, keep = ctc_greedy_decode(lp, raw_lens, blank_id)
+                        batch_hyps = keep_to_token_lists(
+                            np.asarray(preds), np.asarray(keep))
+                        for i in range(n_rows):
+                            if seg_idx < len(batch.text_items[i]):
+                                per_item_hyp[i].extend(batch_hyps[i])
                 else:
                     preds, keep = ctc_greedy_decode(logits, in_lens, blank_id)
                     batch_hyps = keep_to_token_lists(np.asarray(preds), np.asarray(keep))
@@ -182,6 +220,7 @@ def evaluate(
                         per_item_ref[i].append(
                             dedup_reference_text(texts[i], metas_k[i])
                         )
+                prev_metas = metas_k
             if use_rnnt_dec:
                 from statecatcher_tpu.rnnt_decode import (
                     rnnt_beam_to_lists,
