@@ -133,8 +133,8 @@ def main():
     env = os.environ.get
     base = dict(
         B=int(env("BENCH_BATCH", "96")),
-        K=int(env("BENCH_SEGMENTS", "8")),
-        n_disp=int(env("BENCH_DISPATCHES", "2")),
+        K=int(env("BENCH_SEGMENTS", "16")),
+        n_disp=int(env("BENCH_DISPATCHES", "1")),
         seconds=float(env("BENCH_SECONDS", "16.0")),
         kernel=env("BENCH_KERNEL", ""),          # "" = config default
         ctc_impl=env("BENCH_CTC", "auto"),       # auto = pallas on TPU
