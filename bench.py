@@ -151,7 +151,9 @@ def main():
         # per-mode records (BASELINE.md round-3 table), one JSON line each
         for spec in (
             dict(base, encoder="lucyrnn", mode="ctc"),
-            dict(base, encoder="xlstm", mode="ctc"),
+            # xLSTM regresses at B=96/K=16 (7037 vs 7504) — record its
+            # measured best config instead of inheriting the flagship's
+            dict(base, encoder="xlstm", mode="ctc", B=64, K=8, n_disp=2),
             dict(base, encoder="lucyrnn", mode="rnnt", U=64),
             dict(base, encoder="lstm", mode="ctc"),
         ):
