@@ -47,26 +47,70 @@ _EPS = 1e-6
 _LANE = 128
 
 
-def _gate_chain(g7):
-    """Raw (biased) gate tiles → scan coefficients; the differentiable core
-    shared by forward and backward (via jax.vjp in-register).
+def _gate_chain_res(g7):
+    """Raw (biased) gate tiles → scan coefficients + residuals for the
+    hand-derived adjoint (`_gate_chain_bwd`).
 
     Mirrors ops/lucy_pallas.py:lucy_gate_coeffs (reference
-    lucyrnn_triton.py:214-226): grouped RMS + sigmoid/tanh squashing."""
+    lucyrnn_triton.py:214-226): grouped RMS + sigmoid squashing — expressed
+    in rsqrt/multiply form so every normalizer is ONE rsqrt whose powers the
+    backward reuses (x/sqrt(x²+ε) costs a sqrt AND a divide on the VPU slow
+    path; x·rsqrt(x²+ε) costs one rsqrt, and ∂/∂x = ε·rsqrt³ is multiplies).
+    """
     r, z, k, v, h_pre, decay, alpha = g7
-    rms_rz = jnp.sqrt((r * r + z * z) / 2 + _EPS)
-    rms_kv2 = (k * k + v * v) / 2 + _EPS
-    rms_kv = jnp.sqrt(rms_kv2)
-    z_n = jax.nn.sigmoid(z / rms_rz)
-    decay_n = jax.nn.sigmoid(decay / jnp.sqrt(decay * decay + _EPS))
-    alpha_n = jax.nn.sigmoid(alpha / jnp.sqrt(alpha * alpha + _EPS))
-    h_pre_n = h_pre / jnp.sqrt(h_pre * h_pre + _EPS)
-    kv = (k / rms_kv) * (v / rms_kv) / (rms_kv2 + _EPS)
-    a_s = decay_n
-    b_s = alpha_n * kv
-    a_h = z_n
-    bh_c = 1.0 - z_n
-    return a_s, b_s, a_h, bh_c, h_pre_n
+    i_rz = jax.lax.rsqrt((r * r + z * z) * 0.5 + _EPS)
+    q_kv = (k * k + v * v) * 0.5 + _EPS
+    i_kv = jax.lax.rsqrt(q_kv)
+    inv_qe = 1.0 / (q_kv + _EPS)
+    i_d = jax.lax.rsqrt(decay * decay + _EPS)
+    i_a = jax.lax.rsqrt(alpha * alpha + _EPS)
+    i_p = jax.lax.rsqrt(h_pre * h_pre + _EPS)
+    z_n = jax.nn.sigmoid(z * i_rz)
+    d_n = jax.nn.sigmoid(decay * i_d)
+    a_n = jax.nn.sigmoid(alpha * i_a)
+    h_pre_n = h_pre * i_p
+    F = (i_kv * i_kv) * inv_qe          # 1/(q·(q+ε))
+    kv = (k * v) * F
+    coeffs = (d_n, a_n * kv, z_n, 1.0 - z_n, h_pre_n)
+    res = (g7, i_rz, q_kv, F, i_d, i_a, i_p, z_n, d_n, a_n, kv)
+    return coeffs, res
+
+
+def _gate_chain(g7):
+    """Coefficients only (forward kernel / mechanical-vjp A/B path)."""
+    return _gate_chain_res(g7)[0]
+
+
+def _gate_chain_bwd(res, cot):
+    """Hand-derived closed-form adjoint of `_gate_chain_res`.
+
+    Replaces the in-register ``jax.vjp(_gate_chain)`` (round-4 design): the
+    mechanical linearization re-derives each sqrt/divide derivative as fresh
+    slow-path VPU ops; here every derivative is expressed through the
+    residual rsqrt factors — for u = x·rsqrt(x²+ε), ∂u/∂x = ε·rsqrt³ — so
+    the whole adjoint is multiplies/adds on top of the 3 σ′ = σ(1−σ) terms.
+    Verified against the mechanical vjp at 1e-6 (tests/test_lucy_fused_lm.py
+    ::test_hand_adjoint_matches_vjp)."""
+    (r, z, k, v, _h_pre, _decay, _alpha), i_rz, q_kv, F, i_d, i_a, i_p, \
+        z_n, d_n, a_n, kv = res
+    ca, cb, cah, cbh, cp = cot
+    # a_s = σ(decay·i_d):   ∂(decay·i_d)/∂decay = ε·i_d³
+    d_decay = ca * (d_n * (1.0 - d_n)) * (_EPS * i_d * i_d * i_d)
+    # b_s = a_n·kv
+    c_kv = cb * a_n
+    d_alpha = (cb * kv) * (a_n * (1.0 - a_n)) * (_EPS * i_a * i_a * i_a)
+    # a_h = z_n, bh_c = 1−z_n, z_n = σ(z·i_rz) with i_rz = rsqrt((r²+z²)/2+ε)
+    g = (cah - cbh) * (z_n * (1.0 - z_n))
+    i_rz3 = (i_rz * i_rz) * i_rz
+    d_z = g * (i_rz - (0.5 * (z * z)) * i_rz3)
+    d_r = g * ((-0.5) * (z * r) * i_rz3)
+    # h_pre_n = h_pre·i_p
+    d_h_pre = cp * (_EPS * i_p * i_p * i_p)
+    # kv = k·v·F with F = 1/(q(q+ε)):  ∂kv/∂k = v·F·(1 − k²·(2q+ε)·F)
+    tF = (2.0 * q_kv + _EPS) * F
+    d_k = (c_kv * v) * F * (1.0 - (k * k) * tF)
+    d_v = (c_kv * k) * F * (1.0 - (v * v) * tF)
+    return (d_r, d_z, d_k, d_v, d_h_pre, d_decay, d_alpha)
 
 
 def _split_gates(g_tile, bias_tile, D):
@@ -201,7 +245,7 @@ def _fused_lm_fwd_impl(gates, bias, h0, s0, chunk: int = 128,
 # =========================================================================== #
 
 
-def _bwd_kernel(C: int, D: int, T: int, nchunks: int):
+def _bwd_kernel(C: int, D: int, T: int, nchunks: int, hand_adjoint: bool):
     def kernel(h0_ref, s0_ref, bias_ref, gates_ref,
                s_al_ref, h_al_ref, s_pv_ref, h_pv_ref, gh_ref, gs_ref,
                dg_ref, dh0_ref, ds0_ref, dbias_ref,
@@ -217,7 +261,12 @@ def _bwd_kernel(C: int, D: int, T: int, nchunks: int):
             asn_ref[:] = jnp.ones_like(asn_ref)
 
         g7 = _split_gates(gates_ref[0], bias_ref, D)
-        (a_s, b_s, a_h, bh_c, h_pre_n), chain_vjp = jax.vjp(_gate_chain, g7)
+        if hand_adjoint:
+            (a_s, b_s, a_h, bh_c, h_pre_n), chain_res = _gate_chain_res(g7)
+            chain_vjp = lambda cot: (_gate_chain_bwd(chain_res, cot),)
+        else:
+            (a_s, b_s, a_h, bh_c, h_pre_n), chain_vjp = jax.vjp(
+                _gate_chain, g7)
 
         g_h = gh_ref[0].astype(jnp.float32)
         g_s = gs_ref[0].astype(jnp.float32)
@@ -310,9 +359,11 @@ def _bwd_kernel(C: int, D: int, T: int, nchunks: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "interpret", "hand_adjoint"))
 def _fused_lm_bwd_impl(gates, bias, h0, s0, h_all, s_all, g_h, g_s,
-                       chunk: int = 128, interpret: bool = False):
+                       chunk: int = 128, interpret: bool = False,
+                       hand_adjoint: bool = True):
     B, T, G7 = gates.shape
     D = G7 // 7
     C = min(chunk, max(8, T))
@@ -336,7 +387,7 @@ def _fused_lm_bwd_impl(gates, bias, h0, s0, h_all, s_all, g_h, g_s,
         memory_space=pltpu.VMEM)
 
     dg, dh0, ds0, dbias = pl.pallas_call(
-        _bwd_kernel(C, D, T, nchunks),
+        _bwd_kernel(C, D, T, nchunks, hand_adjoint),
         out_shape=(
             jax.ShapeDtypeStruct((B, T, G7), gates.dtype),
             jax.ShapeDtypeStruct((B, 8, D), jnp.float32),
@@ -403,12 +454,17 @@ def _lm_fwd(gates, bias, h0, s0, chunk):
     return (h_all, s_all), (gates, bias, h0, s0, h_all, s_all)
 
 
+# A/B switch for tools/profile benchmarks: False restores the round-4
+# mechanical jax.vjp chain adjoint inside the bwd kernel.
+HAND_ADJOINT = True
+
+
 def _lm_bwd(chunk, res, cotangents):
     gates, bias, h0, s0, h_all, s_all = res
     g_h, g_s = cotangents
     dg, dh0, ds0, d_bias = _fused_lm_bwd_impl(
         gates, bias, h0, s0, h_all, s_all, g_h, g_s,
-        chunk=_chunk_pair(chunk)[1])
+        chunk=_chunk_pair(chunk)[1], hand_adjoint=HAND_ADJOINT)
     return (dg, d_bias.astype(bias.dtype), dh0.astype(h0.dtype),
             ds0.astype(s0.dtype))
 

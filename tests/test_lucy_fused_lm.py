@@ -99,6 +99,51 @@ def test_fused_lm_s_all_cotangent(rng):
     _assert_close_chaotic(np.asarray(g_ref), np.asarray(g_lm), "d_gates(s)")
 
 
+def test_hand_adjoint_matches_vjp(rng):
+    """The closed-form gate-chain adjoint (ops/lucy_fused_lm._gate_chain_bwd)
+    == jax.vjp of the chain — an exact math identity, verified in f64 (in
+    f32 the MECHANICAL vjp itself loses digits to cancellation: it derives
+    d(x·rsqrt(x²+ε))/dx as i − x²·i³, which cancels catastrophically for
+    x² ≫ ε, where the closed form uses the exact ε·i³)."""
+    D = 128
+    with jax.enable_x64(True):
+        g7 = tuple(jnp.asarray(rng.standard_normal((16, D))) for _ in range(7))
+        cot = tuple(jnp.asarray(rng.standard_normal((16, D)))
+                    for _ in range(5))
+        coeffs, res = lm._gate_chain_res(g7)
+        coeffs_ref, chain_vjp = jax.vjp(lm._gate_chain, g7)
+        for a, b in zip(coeffs, coeffs_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12)
+        (d_ref,) = chain_vjp(cot)
+        d_hand = lm._gate_chain_bwd(res, cot)
+        for name, a, b in zip("r z k v h_pre decay alpha".split(),
+                              d_ref, d_hand):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-7, atol=1e-10,
+                err_msg=f"d_{name}")
+
+
+def test_hand_adjoint_kernel_matches_vjp_kernel(rng):
+    """Full bwd kernel with hand_adjoint=True == hand_adjoint=False
+    (interpret mode, f32 → conditioning-aware comparison), including ragged
+    tails and the in-kernel bias grad."""
+    B, T, D, chunk = 2, 45, 128, 16
+    gates, bias, h0, s0 = _data(rng, B, T, D)
+    h_all, s_all = lm._fused_lm_fwd_impl(
+        gates, bias, h0, s0, chunk=chunk, interpret=True)
+    g_h = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    g_s = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    outs = {}
+    for hand in (True, False):
+        outs[hand] = lm._fused_lm_bwd_impl(
+            gates, bias, h0, s0, h_all, s_all, g_h, g_s,
+            chunk=chunk, interpret=True, hand_adjoint=hand)
+    for name, a, b in zip(["d_gates", "dh0", "ds0", "d_bias"],
+                          outs[True], outs[False]):
+        _assert_close_chaotic(np.asarray(a), np.asarray(b), name)
+
+
 def test_fused_lm_model_path_fallbacks(rng):
     """lucy_cell_parallel falls back to the split path for masked calls and
     non-128-multiple D instead of failing."""
