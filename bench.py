@@ -30,7 +30,8 @@ import time
 
 def run_one(B=64, K=8, n_disp=2, seconds=16.0, kernel="", ctc_impl="auto",
             dtype="bfloat16", encoder="lucyrnn", mode="ctc", U=128,
-            xlstm_kernel="", xlstm_chunk="", rnnt_tb="", rnnt_band=""):
+            xlstm_kernel="", xlstm_chunk="", rnnt_tb="", rnnt_band="",
+            xlstm_remat=""):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -57,6 +58,8 @@ def run_one(B=64, K=8, n_disp=2, seconds=16.0, kernel="", ctc_impl="auto",
         over += ["--model.xlstm.kernel_impl", xlstm_kernel]
     if xlstm_chunk:
         over += ["--model.xlstm.chunk_size", xlstm_chunk]
+    if xlstm_remat:
+        over += ["--model.xlstm.ffn_remat", xlstm_remat]
     if rnnt_tb:
         over += ["--train.rnnt_time_block", rnnt_tb]
     if rnnt_band:
@@ -144,6 +147,7 @@ def main():
         U=int(env("BENCH_RNNT_U", "128")),
         xlstm_kernel=env("BENCH_XLSTM_KERNEL", ""),
         xlstm_chunk=env("BENCH_XLSTM_CHUNK", ""),
+        xlstm_remat=env("BENCH_XLSTM_REMAT", ""),
         rnnt_tb=env("BENCH_RNNT_TIME_BLOCK", ""),
         rnnt_band=env("BENCH_RNNT_BAND", ""),
     )
@@ -151,9 +155,11 @@ def main():
         # per-mode records (BASELINE.md round-3 table), one JSON line each
         for spec in (
             dict(base, encoder="lucyrnn", mode="ctc"),
-            # xLSTM regresses at B=96/K=16 (7037 vs 7504) — record its
-            # measured best config instead of inheriting the flagship's
-            dict(base, encoder="xlstm", mode="ctc", B=64, K=8, n_disp=2),
+            # xLSTM record config: fused lane-major kernel at chunk 256
+            # (auto default is 128; 256 is the measured best: 9638 vs
+            # 9526 — BASELINE.md round 5), B=64/K=16
+            dict(base, encoder="xlstm", mode="ctc", B=64, K=16, n_disp=2,
+                 xlstm_chunk="256"),
             dict(base, encoder="lucyrnn", mode="rnnt", U=64),
             dict(base, encoder="lstm", mode="ctc"),
         ):

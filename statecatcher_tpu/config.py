@@ -84,11 +84,18 @@ class XLSTMConfig:
     # recurrent OOMs in training (decode-step form).  NOTE: the Pallas kernel
     # on a real TPU needs chunk_size % 128 == 0 (lane-aligned chunk offsets).
     chunk_size: int = 128
-    kernel_impl: str = "chunkwise"  # "chunkwise" | "recurrent" | "pallas"
+    # "auto" → the fused lane-major Pallas fwd+bwd kernel on TPU when head
+    # slices are lane-aligned (dqk, dv, chunk_size % 128 == 0; measured 9638
+    # vs chunkwise 7504 audio-s/s flagship — BASELINE.md round 5), else the
+    # XLA chunkwise scan.  Explicit: chunkwise | recurrent | pallas | fused.
+    kernel_impl: str = "auto"
     ffn_proj_factor: float = 2.667
     qk_dim_factor: float = 0.5
     v_dim_factor: float = 1.0
     gate_soft_cap: float = 15.0
+    # Recompute SwiGLU FFN activations in the backward (jax.checkpoint):
+    # trades the HBM-bound bwd activation reads for MXU recompute FLOPs.
+    ffn_remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -46,6 +46,34 @@ from statecatcher_tpu.ops.scan import linear_scan
 _EPS = 1e-6
 
 
+def tp_active() -> bool:
+    """True when an ambient mesh has a 'model' axis of size > 1.
+
+    The fused Pallas cells are GSPMD-opaque custom calls that cannot be
+    lane-partitioned, so tensor-parallel contexts must take the split
+    (XLA math + Pallas scan) path.  train() patches its config explicitly
+    (train/loop.py); this catches any OTHER entry point (eval/serving with
+    TP, multichip dryruns) that enters a `jax.sharding.use_mesh` /
+    `with mesh:` scope around model application.
+    """
+    try:
+        from jax._src import mesh as mesh_lib
+
+        m = mesh_lib.thread_resources.env.physical_mesh
+        if m is not None and not m.empty and "model" in m.axis_names:
+            if dict(zip(m.axis_names, m.devices.shape))["model"] > 1:
+                return True
+    except Exception:
+        pass
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if am is not None and not am.empty and "model" in am.axis_names:
+            return am.shape["model"] > 1
+    except Exception:
+        pass
+    return False
+
+
 def lucy_cell_parallel(
     gates: jnp.ndarray,      # (B, T, 7, D) or lane-major (B, T, 7·D)
     h0: jnp.ndarray,         # (B, D)
@@ -82,7 +110,8 @@ def lucy_cell_parallel(
         # (12459 vs 10678 audio-s/s flagship at @64=11357, @128=10775 —
         # BASELINE.md round 4)
         impl = "fused-lm@32"
-    if impl.startswith("fused-lm") and frame_mask is None and D_ % 128 == 0:
+    if (impl.startswith("fused-lm") and frame_mask is None and D_ % 128 == 0
+            and jax.default_backend() == "tpu" and not tp_active()):
         # ONE kernel for gate math + both scans, lane-major gates, fused
         # backward emitting d_gates directly (ops/lucy_fused_lm.py).  No
         # frame-mask support: masked calls fall through to the split path.

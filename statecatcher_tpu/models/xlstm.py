@@ -205,7 +205,7 @@ class MLSTMLayer(nn.Module):
     v_dim_factor: float
     chunk_size: int
     gate_soft_cap: float
-    kernel_impl: str = "chunkwise"   # "chunkwise" | "recurrent" | "pallas"
+    kernel_impl: str = "chunkwise"   # auto|chunkwise|recurrent|pallas|fused
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -215,28 +215,70 @@ class MLSTMLayer(nn.Module):
         H = self.num_heads
         dqk = int(E * self.qk_dim_factor) // H
         dv = int(E * self.v_dim_factor) // H
+        impl = self.kernel_impl
+        if impl == "auto":
+            # fused lane-major Pallas fwd+bwd when the head slices are
+            # lane-aligned (measured 9638 vs chunkwise 7504 audio-s/s at the
+            # flagship — BASELINE.md round 5); the kernel is a GSPMD-opaque
+            # custom call, so TP contexts keep the partitionable XLA form
+            from statecatcher_tpu.models.lucyrnn import tp_active
+
+            if (jax.default_backend() == "tpu" and dqk % 128 == 0
+                    and dv % 128 == 0 and self.chunk_size % 128 == 0
+                    and not tp_active()):
+                impl = "fused"
+            else:
+                impl = "chunkwise"
         dense = lambda feats, name: nn.Dense(
             feats, use_bias=False, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name,
         )
 
-        q = dense(H * dqk, "q")(x).reshape(B, T, H, dqk).transpose(0, 2, 1, 3)
-        k = dense(H * dqk, "k")(x).reshape(B, T, H, dqk).transpose(0, 2, 1, 3)
-        v = dense(H * dv, "v")(x).reshape(B, T, H, dv).transpose(0, 2, 1, 3)
+        q_lane = dense(H * dqk, "q")(x)                    # (B, T, H·dqk)
+        k_lane = dense(H * dqk, "k")(x)
+        v_lane = dense(H * dv, "v")(x)
         # gate pre-activations; forget bias init positive (long memory at init)
-        i_raw = nn.Dense(
+        i_lane = nn.Dense(
             H, dtype=self.dtype, param_dtype=self.param_dtype,
             bias_init=nn.initializers.constant(-10.0), name="igate",
-        )(x).transpose(0, 2, 1)
-        f_raw = nn.Dense(
+        )(x)
+        f_lane = nn.Dense(
             H, dtype=self.dtype, param_dtype=self.param_dtype,
             bias_init=nn.initializers.constant(3.0), name="fgate",
-        )(x).transpose(0, 2, 1)
+        )(x)
 
         C0 = state["C"].astype(jnp.float32)
         n0 = state["n"].astype(jnp.float32)
         m0 = state["m"].astype(jnp.float32)
-        if self.kernel_impl == "chunkwise":
+
+        if impl == "fused":
+            # Lane-major fused Pallas fwd+bwd (ops/mlstm_fused.py): q/k/v/h
+            # never leave the projection layout — no head transposes, no
+            # chunk-split copies, no scan stacking.
+            from statecatcher_tpu.ops.mlstm_fused import mlstm_fused
+
+            h, C_T, n_T, m_T = mlstm_fused(
+                q_lane, k_lane, v_lane, i_lane, f_lane, C0, n0, m0,
+                self.chunk_size, self.gate_soft_cap)
+            h = h.astype(self.dtype).reshape(B, T, H, dv)
+            h = nn.RMSNorm(dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="head_norm")(h)
+            o = jax.nn.sigmoid(dense(H * dv, "ogate")(x)).reshape(
+                B, T, H, dv)
+            y = dense(E, "out_proj")((h * o).reshape(B, T, H * dv))
+            new_state = {
+                "C": C_T.astype(state["C"].dtype),
+                "n": n_T.astype(state["n"].dtype),
+                "m": m_T.astype(state["m"].dtype),
+            }
+            return y, new_state
+
+        q = q_lane.reshape(B, T, H, dqk).transpose(0, 2, 1, 3)
+        k = k_lane.reshape(B, T, H, dqk).transpose(0, 2, 1, 3)
+        v = v_lane.reshape(B, T, H, dv).transpose(0, 2, 1, 3)
+        i_raw = i_lane.transpose(0, 2, 1)
+        f_raw = f_lane.transpose(0, 2, 1)
+        if impl == "chunkwise":
             # q/k/v stay in the model dtype so the chunk einsums hit the
             # bf16 MXU path (f32 accumulation via preferred_element_type);
             # only the gate pre-activations are promoted.
@@ -248,24 +290,24 @@ class MLSTMLayer(nn.Module):
                 v.astype(jnp.float32),
                 i_raw.astype(jnp.float32), f_raw.astype(jnp.float32),
             )
-        if self.kernel_impl == "recurrent":
+        if impl == "recurrent":
             h, C_T, n_T, m_T = mlstm_recurrent(
                 *qkvif, C0, n0, m0, self.gate_soft_cap,
             )
-        elif self.kernel_impl == "pallas":
+        elif impl == "pallas":
             from statecatcher_tpu.ops.mlstm_pallas import mlstm_chunkwise_pallas
 
             h, C_T, n_T, m_T = mlstm_chunkwise_pallas(
                 *qkvif, C0, n0, m0, self.chunk_size, self.gate_soft_cap,
             )
-        elif self.kernel_impl == "chunkwise":
+        elif impl == "chunkwise":
             h, C_T, n_T, m_T = mlstm_chunkwise(
                 *qkvif, C0, n0, m0, self.chunk_size, self.gate_soft_cap,
             )
         else:
             raise ValueError(
-                f"Unknown xLSTM kernel_impl {self.kernel_impl!r} "
-                "(expected chunkwise|recurrent|pallas)"
+                f"Unknown xLSTM kernel_impl {impl!r} "
+                "(expected auto|chunkwise|recurrent|pallas|fused)"
             )
         h = h.astype(self.dtype)
 
@@ -361,7 +403,8 @@ class XLSTMEncoder(nn.Module):
             x = x + h
             f = nn.RMSNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                            name=f"block{bi}_norm_ffn")(x)
-            x = x + SwiGLUFFN(
+            ffn_cls = nn.remat(SwiGLUFFN) if cfg.ffn_remat else SwiGLUFFN
+            x = x + ffn_cls(
                 embedding_dim=E, proj_factor=cfg.ffn_proj_factor,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name=f"block{bi}_ffn",
