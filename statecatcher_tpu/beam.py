@@ -207,6 +207,132 @@ def ctc_beam_search(
     return state, totals
 
 
+def _rolling_hashes(toks: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Recompute the uint32 rolling prefix hash (h = h*P + tok + 1) from
+    (…, L) token buffers with (…,) lengths.  Host-side, vectorized over the
+    leading axes."""
+    P = np.uint32(1000003)
+    h = np.zeros(toks.shape[:-1], np.uint32)
+    L = toks.shape[-1]
+    pos = np.arange(L)
+    valid = pos < lens[..., None]
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            step = h * P + toks[..., j].astype(np.uint32) + np.uint32(1)
+            h = np.where(valid[..., j], step, h)
+    return h
+
+
+def committed_prefix_shift(
+    toks: np.ndarray,      # (B, W, L) int32
+    lens: np.ndarray,      # (B, W) int32
+    live: np.ndarray,      # (B, W) bool
+    best: np.ndarray,      # (B,) int32 index of the best live beam per row
+    reserve: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, list[list[int]]]:
+    """Shared host-side core of hour-scale streaming commit.
+
+    Computes, per batch row, the longest common prefix (LCP) of all live
+    beams' token sequences, removes it from the buffers (left shift), and
+    returns it as the committed emission.  Lossless: every live hypothesis
+    equals ``committed ++ residual`` and residual equality ⟺ full-sequence
+    equality, so downstream hash-merging is unaffected.
+
+    ``reserve``: if set, guarantee at least ``reserve`` free buffer slots
+    after the shift by FORCE-committing along the best beam when the LCP is
+    too short — beams that disagree with the forced prefix are pruned
+    (``live`` cleared).  This trades beam diversity for bounded memory, the
+    standard streaming-commit fallback; with ``reserve=None`` the operation
+    is exact.
+
+    Returns (toks, lens, live, recomputed_hashes, committed_lists).
+    """
+    toks = np.array(toks, np.int32, copy=True)
+    lens = np.array(lens, np.int32, copy=True)
+    live = np.array(live, bool, copy=True)
+    B, W, L = toks.shape
+    committed: list[list[int]] = []
+    for b in range(B):
+        lw = np.where(live[b])[0]
+        if lw.size == 0:
+            committed.append([])
+            continue
+        ref_w = int(best[b]) if live[b, best[b]] else int(lw[0])
+        ref = toks[b, ref_w, : lens[b, ref_w]]
+        # LCP over live beams (a shorter live beam caps the LCP at its length)
+        n = len(ref)
+        for w in lw:
+            m = min(n, int(lens[b, w]))
+            neq = np.nonzero(toks[b, w, :m] != ref[:m])[0]
+            n = int(neq[0]) if neq.size else m
+            if n == 0:
+                break
+        commit_n = n
+        if reserve is not None:
+            max_live_len = int(lens[b, lw].max())
+            need = max_live_len - (L - reserve)
+            if need > commit_n:
+                # force-commit along the best beam; prune disagreeing beams
+                commit_n = min(need, int(lens[b, ref_w]))
+                for w in lw:
+                    if int(lens[b, w]) < commit_n or np.any(
+                        toks[b, w, :commit_n] != ref[:commit_n]
+                    ):
+                        live[b, w] = False
+        committed.append([int(x) for x in ref[:commit_n]])
+        if commit_n:
+            for w in range(W):
+                if not live[b, w]:
+                    lens[b, w] = 0
+                    continue
+                r = int(lens[b, w]) - commit_n
+                toks[b, w, :r] = toks[b, w, commit_n : commit_n + r]
+                toks[b, w, r:] = 0
+                lens[b, w] = r
+    hashes = _rolling_hashes(toks, lens)
+    return toks, lens, live, hashes, committed
+
+
+def beam_commit(
+    state: BeamState, totals, reserve: int | None = None
+) -> tuple[BeamState, list[list[int]]]:
+    """Hour-scale streaming commit for the CTC prefix-beam state.
+
+    Host-side: extracts the committed (all-live-beams-agree) prefix of each
+    batch row, left-shifts the token buffers to free space, and returns the
+    refreshed state plus the per-row committed token lists.  The full
+    hypothesis of any beam is then ``sum(committed emissions) ++ residual``.
+    ``last`` (the repeat-collapse context) is untouched — it is semantic
+    regardless of where the buffer is cut.  With ``reserve`` set, forced
+    commits prune beams that disagree with the best beam's prefix (see
+    ``committed_prefix_shift``).
+
+    This keeps decode lossless for arbitrarily long recordings (reference
+    README.md:5 — hour-long context is the design goal) with a fixed-size
+    device buffer.
+    """
+    totals_h = np.asarray(totals)
+    live = totals_h > _NEG_INF / 2
+    best = np.argmax(np.where(live, totals_h, -np.inf), axis=1).astype(np.int32)
+    toks, lens, live2, hashes, committed = committed_prefix_shift(
+        np.asarray(state.toks), np.asarray(state.lens), live, best, reserve
+    )
+    kill = ~live2
+    p_b = np.array(np.asarray(state.p_b), copy=True)
+    p_nb = np.array(np.asarray(state.p_nb), copy=True)
+    p_b[kill] = _NEG_INF
+    p_nb[kill] = _NEG_INF
+    new = BeamState(
+        p_b=jnp.asarray(p_b),
+        p_nb=jnp.asarray(p_nb),
+        hashes=jnp.asarray(hashes),
+        last=state.last,
+        toks=jnp.asarray(toks),
+        lens=jnp.asarray(lens),
+    )
+    return new, committed
+
+
 def beam_hypotheses(state: BeamState, totals) -> list[list[tuple[float, list[int]]]]:
     """Host-side: per batch item, list of (score, tokens) best-first."""
     out = []

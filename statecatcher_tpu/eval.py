@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from statecatcher_tpu.beam import beam_hypotheses, beam_init, ctc_beam_search
+from statecatcher_tpu.beam import (
+    beam_commit,
+    beam_hypotheses,
+    beam_init,
+    ctc_beam_search,
+)
 from statecatcher_tpu.config import Config
 from statecatcher_tpu.data.pipeline import BatchPipeline, stack_segment_slice
 from statecatcher_tpu.decode import (
@@ -124,6 +129,11 @@ def evaluate(
             # recording, extracted after its last segment.
             beam_state = totals = None
             rnnt_state = None
+            # Hour-scale decode: tokens committed to the host between
+            # segments (all live beams agree on them / greedy RNN-T drain),
+            # so the fixed 512-slot device buffers never overflow no matter
+            # how long the recording is (reference README.md:5).
+            per_item_committed = [[] for _ in range(n_rows)]
             prev_metas = None   # previous segment's metadata (beam dedup)
             for seg_idx in range(K):
                 audio, mask, texts = stack_segment_slice(batch, seg_idx, target_samples)
@@ -151,6 +161,11 @@ def evaluate(
                         rnnt_greedy_decode,
                     )
 
+                    from statecatcher_tpu.rnnt_decode import (
+                        rnnt_beam_commit,
+                        rnnt_drain,
+                    )
+
                     if decoder == "rnnt-beam":
                         if rnnt_state is None:
                             rnnt_state = rnnt_beam_init(n_rows, beam, 512, blank_id)
@@ -158,6 +173,7 @@ def evaluate(
                             enc_p, *rnnt_tables, in_lens, blank_id=blank_id,
                             beam=beam, topk=min(beam, 8), init_state=rnnt_state,
                         )
+                        rnnt_state, com = rnnt_beam_commit(rnnt_state, reserve=256)
                     else:
                         if rnnt_state is None:
                             rnnt_state = rnnt_decode_init(n_rows, 512, blank_id)
@@ -165,6 +181,9 @@ def evaluate(
                             enc_p, *rnnt_tables, in_lens, blank_id=blank_id,
                             init_state=rnnt_state,
                         )
+                        rnnt_state, com = rnnt_drain(rnnt_state)
+                    for i in range(n_rows):
+                        per_item_committed[i].extend(com[i])
                 elif decoder in ("beam", "greedy"):
                     # Boundary dedup for STATEFUL CTC decode: don't end-trim
                     # this segment (trimming loses late emissions of the last
@@ -202,6 +221,13 @@ def evaluate(
                             lp, raw_lens, beam=beam, blank_id=blank_id,
                             max_len=512, init_state=beam_state,
                         )
+                        beam_state, com = beam_commit(
+                            beam_state, totals, reserve=256)
+                        # forced commits can prune beams — refresh totals
+                        totals = jnp.logaddexp(
+                            beam_state.p_b, beam_state.p_nb)
+                        for i in range(n_rows):
+                            per_item_committed[i].extend(com[i])
                     else:
                         preds, keep = ctc_greedy_decode(lp, raw_lens, blank_id)
                         batch_hyps = keep_to_token_lists(
@@ -228,15 +254,21 @@ def evaluate(
                 )
 
                 if decoder == "rnnt-beam":
-                    per_item_hyp = [
+                    resid = [
                         h[0][1] if h else [] for h in rnnt_beam_to_lists(rnnt_state)
                     ]
                 else:
-                    per_item_hyp = rnnt_state_to_lists(rnnt_state)
-            elif decoder == "beam" and beam_state is not None:
+                    resid = rnnt_state_to_lists(rnnt_state)
                 per_item_hyp = [
+                    per_item_committed[i] + resid[i] for i in range(n_rows)
+                ]
+            elif decoder == "beam" and beam_state is not None:
+                resid = [
                     h[0][1] if h else []
                     for h in beam_hypotheses(beam_state, totals)
+                ]
+                per_item_hyp = [
+                    per_item_committed[i] + resid[i] for i in range(n_rows)
                 ]
             for i in range(n_rows):
                 hyps.append(tokenizer.decode_ids(per_item_hyp[i]))

@@ -92,6 +92,23 @@ def rnnt_state_to_lists(state: RNNTDecodeState) -> list[list[int]]:
     return [[int(x) for x in buf[b, : lens[b]]] for b in range(buf.shape[0])]
 
 
+def rnnt_drain(state: RNNTDecodeState) -> tuple[RNNTDecodeState, list[list[int]]]:
+    """Hour-scale streaming commit for greedy RNN-T: drain the emitted
+    tokens to the host and reset the buffer cursor.  Exactly lossless — the
+    only decode context the next frame needs is ``last_token``, which is
+    kept.  Call between segments so the fixed buffer only ever has to hold
+    ONE segment's emissions (reference README.md:5 — hour-long recordings)."""
+    committed = rnnt_state_to_lists(state)
+    return (
+        RNNTDecodeState(
+            last_token=state.last_token,
+            out_buf=jnp.zeros_like(state.out_buf),
+            out_len=jnp.zeros_like(state.out_len),
+        ),
+        committed,
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Beam search
 # --------------------------------------------------------------------------- #
@@ -257,6 +274,35 @@ def rnnt_beam_search(
 
     st, _ = lax.scan(frame, st, (jnp.swapaxes(enc_proj, 0, 1), jnp.arange(T)))
     return st
+
+
+def rnnt_beam_commit(
+    state: RNNTBeamState, reserve: int | None = None
+) -> tuple[RNNTBeamState, list[list[int]]]:
+    """Hour-scale streaming commit for the RNN-T beam state: emit the prefix
+    all live beams agree on, left-shift the token buffers, recompute the
+    residual rolling hashes (equality preserved — the committed prefix is
+    common to every live beam).  ``last_token`` (predictor context) is
+    semantic and untouched.  See ``beam.committed_prefix_shift`` for the
+    forced-commit semantics of ``reserve``."""
+    from statecatcher_tpu.beam import committed_prefix_shift
+
+    scores_h = np.asarray(state.scores)
+    live = scores_h > -1e29
+    best = np.argmax(np.where(live, scores_h, -np.inf), axis=1).astype(np.int32)
+    toks, lens, live2, hashes, committed = committed_prefix_shift(
+        np.asarray(state.toks), np.asarray(state.lens), live, best, reserve
+    )
+    scores = np.array(scores_h, copy=True)
+    scores[~live2] = -1e30
+    new = RNNTBeamState(
+        scores=jnp.asarray(scores),
+        last_token=state.last_token,
+        hashes=jnp.asarray(hashes),
+        toks=jnp.asarray(toks),
+        lens=jnp.asarray(lens),
+    )
+    return new, committed
 
 
 def rnnt_beam_to_lists(state: RNNTBeamState) -> list[list[tuple[float, list[int]]]]:

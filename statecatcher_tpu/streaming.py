@@ -47,9 +47,12 @@ class StreamingRecognizer:
         self.decoder = decoder
         self.beam = beam
         self.blank_id = blank_id
-        # Hypothesis-buffer capacity for beam/RNN-T decode state.  Emission
-        # stops silently once a stream accumulates this many tokens — size it
-        # to the longest stream you expect between ``reset()`` calls.
+        # Device-side hypothesis-buffer capacity for beam/RNN-T decode
+        # state.  Streams of ANY length are supported: once a buffer is
+        # half full, the prefix all live beams agree on is committed to the
+        # host (``_committed``) and the buffers are left-shifted, so
+        # hour-long recordings (reference README.md:5) decode losslessly
+        # with a fixed-size device buffer.
         self.max_out = max_out
         fe = cfg.frontend
         self.stack_order = max(1, cfg.model.stack_order)
@@ -70,6 +73,7 @@ class StreamingRecognizer:
         self._prev_argmax = -1
         self._beam_state: Optional[BeamState] = None
         self._rnnt_state = None
+        self._committed: list[int] = []
 
         if decoder == "rnnt":
             pt, jk, jb = model.apply(params, method="rnnt_decode_tables")
@@ -145,6 +149,11 @@ class StreamingRecognizer:
                 jnp.asarray([T]), blank_id=self.blank_id,
                 init_state=self._rnnt_state,
             )
+            if int(self._rnnt_state.out_len[0]) >= self.max_out // 2:
+                from statecatcher_tpu.rnnt_decode import rnnt_drain
+
+                self._rnnt_state, com = rnnt_drain(self._rnnt_state)
+                self._committed.extend(com[0])
             return
         if self.decoder == "greedy":
             preds = np.asarray(jnp.argmax(lp[0], axis=-1))
@@ -161,22 +170,48 @@ class StreamingRecognizer:
                 blank_id=self.blank_id, max_len=self.max_out,
                 init_state=self._beam_state,
             )
+            if int(jnp.max(self._beam_state.lens)) >= self.max_out // 2:
+                from statecatcher_tpu.beam import beam_commit
+
+                self._beam_state, com = beam_commit(
+                    self._beam_state, self._totals,
+                    reserve=self.max_out // 2,
+                )
+                self._totals = jnp.logaddexp(
+                    self._beam_state.p_b, self._beam_state.p_nb)
+                self._committed.extend(com[0])
 
     # ------------------------------------------------------------------ #
     @property
     def tokens(self) -> list[int]:
+        """Full current hypothesis: committed prefix ++ in-buffer residual."""
         if self.decoder == "rnnt":
             if self._rnnt_state is None:
-                return []
+                return list(self._committed)
             from statecatcher_tpu.rnnt_decode import rnnt_state_to_lists
 
-            return rnnt_state_to_lists(self._rnnt_state)[0]
+            return self._committed + rnnt_state_to_lists(self._rnnt_state)[0]
         if self.decoder == "greedy":
             return list(self._tokens)
         if self._beam_state is None:
-            return []
+            return list(self._committed)
         hyps = beam_hypotheses(self._beam_state, self._totals)[0]
-        return hyps[0][1] if hyps else []
+        return self._committed + (hyps[0][1] if hyps else [])
+
+    @property
+    def committed_tokens(self) -> list[int]:
+        """Partial-commit result: the prefix that can no longer change
+        (all live beams agree on it / already drained).  For greedy CTC
+        every emitted token is final."""
+        if self.decoder == "greedy":
+            return list(self._tokens)
+        return list(self._committed)
+
+    @property
+    def committed_text(self) -> str:
+        if self.tokenizer is None:
+            return " ".join(map(str, self.committed_tokens))
+        return self.tokenizer.decode_ids(self.committed_tokens)
 
     @property
     def text(self) -> str:
@@ -191,3 +226,4 @@ class StreamingRecognizer:
         self._prev_argmax = -1
         self._beam_state = None
         self._rnnt_state = None
+        self._committed = []
