@@ -161,6 +161,9 @@ def main():
             dict(base, encoder="xlstm", mode="ctc", B=64, K=16, n_disp=2,
                  xlstm_chunk="256"),
             dict(base, encoder="lucyrnn", mode="rnnt", U=64),
+            # U=128 long-label row: exercises the auto band selection
+            # (train.rnnt_band=-1 default → band 32 at padded U > 64)
+            dict(base, encoder="lucyrnn", mode="rnnt", U=128),
             dict(base, encoder="lstm", mode="ctc"),
         ):
             try:

@@ -174,9 +174,11 @@ class TrainConfig:
     # Banded (pruned) transducer: restrict u per time-block to a window of
     # this width centered on each utterance's alignment diagonal
     # (ops/rnnt_band.py) — cuts the T×U×V softmax work by ~U/band.  0 = the
-    # exact full lattice (default; the exact loss is proven VPU-exp-bound at
-    # U=128, so banding is the remaining throughput lever).
-    rnnt_band: int = 0
+    # exact full lattice (proven VPU-exp-bound at U=128, so banding is the
+    # remaining throughput lever).  -1 (default) = auto: the step picks
+    # per U bucket at trace time — exact for padded U ≤ 64 (measured tie),
+    # band 32 above it (+36 % at U=128, BASELINE.md round-4 table).
+    rnnt_band: int = -1
     epochs: int = 10
     steps: Optional[int] = None
     optim: OptimConfig = field(default_factory=OptimConfig)

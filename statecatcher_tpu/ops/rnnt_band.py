@@ -350,12 +350,18 @@ def rnnt_nll_banded(blank_b, emit_b, o, t_lens, u_lens, time_block: int):
     # corner read in frozen coordinates: w* = u_len − o(b, block(t_len−1))
     t_last = jnp.maximum(t_lens - 1, 0)
     o_fin = jnp.take_along_axis(o_t, t_last[:, None], axis=1)[:, 0]
-    w_star = jnp.clip(u_lens - o_fin, 0, Wp - 1)
+    w_raw = u_lens - o_fin
+    w_star = jnp.clip(w_raw, 0, Wp - 1)
     blank_fin = jnp.take_along_axis(
         blank_b, t_last[:, None, None], axis=1)[:, 0]       # (B, Wp)
     a_corner = jnp.take_along_axis(alpha_final, w_star[:, None], axis=1)[:, 0]
     b_corner = jnp.take_along_axis(blank_fin, w_star[:, None], axis=1)[:, 0]
-    return -(a_corner + b_corner)
+    # Degenerate guard: when the band never contained the corner (e.g.
+    # u_len ≥ Wp with t_len inside block 0, where the path-start constraint
+    # pins o=0), the clip above would silently read the WRONG cell — return
+    # the pruned-everything sentinel instead so callers can mask the row.
+    covered = (w_raw >= 0) & (w_raw < Wp)
+    return jnp.where(covered, -(a_corner + b_corner), -_NEG_INF)
 
 
 def rnnt_loss_banded(
@@ -377,7 +383,14 @@ def rnnt_loss_banded(
         enc_proj, pred_proj, join_kernel, join_bias, labels, o, Wp,
         blank_id=blank_id, time_block=time_block)
     per = rnnt_nll_banded(blank_b, emit_b, o, t_lens, u_lens, time_block)
-    if row_valid is None:
-        return jnp.mean(per)
-    valid = row_valid.astype(per.dtype)
+    # Degenerate rows — the band pruned ALL paths (u_len > band inside the
+    # first/last block, or a block-to-block offset jump > Wp) — surface as
+    # a ~1e30 NLL.  Mask them out of the mean instead of letting one
+    # pathological utterance dominate the batch loss; they behave like the
+    # loop's bad-segment filtering (skipped, carry frozen by row_valid
+    # upstream when the caller chooses).
+    ok = per < 1e29
+    per = jnp.where(ok, per, 0.0)        # where, not *: NaN·0 = NaN
+    finite = ok.astype(per.dtype)
+    valid = finite if row_valid is None else row_valid.astype(per.dtype) * finite
     return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)

@@ -229,6 +229,21 @@ def _pred_shape(audio, cfg: Config):
     return (audio.shape[0], T)
 
 
+def resolve_rnnt_band(requested: int, u_pad: int) -> int:
+    """Band width for the transducer loss at a given padded label length.
+
+    ``requested`` ≥ 0 is honored verbatim (0 = exact).  -1 = auto: exact for
+    u_pad ≤ 64, band 32 above — the measured crossover (BASELINE.md round-4:
+    U=64 exact 6993 vs band 6946; U=128 exact 5133 vs band=32 6963).  u_pad
+    is a static trace-time shape (train/loop.py buckets U to multiples of
+    16), so every U bucket compiles with its own choice and a long-label
+    dispatch no longer leaves ~26 % on the table unless a flag is set.
+    """
+    if requested >= 0:
+        return requested
+    return 32 if u_pad > 64 else 0
+
+
 def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
     """The un-jitted single-segment step body (shared by both step makers)."""
     fe = cfg.frontend
@@ -266,14 +281,15 @@ def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
                 impl = cfg.train.rnnt_impl
                 if impl == "auto":
                     impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-                if cfg.train.rnnt_band > 0 and impl == "pallas":
+                band = resolve_rnnt_band(cfg.train.rnnt_band, tokens.shape[-1])
+                if band > 0 and impl == "pallas":
                     from statecatcher_tpu.ops.rnnt_band import rnnt_loss_banded
 
                     loss = rnnt_loss_banded(
                         enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
                         blank_id=blank_id, row_valid=row_valid,
                         time_block=cfg.train.rnnt_time_block,
-                        band=cfg.train.rnnt_band,
+                        band=band,
                     )
                 elif impl == "pallas":
                     loss = rnnt_loss_pallas(

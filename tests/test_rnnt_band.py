@@ -146,6 +146,43 @@ def test_band_offsets_cover_corner(rng):
         assert (o[b] % 8 == 0).all()
 
 
+def test_resolve_rnnt_band_auto():
+    """train.rnnt_band=-1 (default) picks the measured crossover per static
+    U bucket; explicit values are honored verbatim."""
+    from statecatcher_tpu.train.step import resolve_rnnt_band
+
+    assert resolve_rnnt_band(-1, 16) == 0
+    assert resolve_rnnt_band(-1, 64) == 0      # exact ties the band here
+    assert resolve_rnnt_band(-1, 80) == 32     # long labels: band wins +26-36 %
+    assert resolve_rnnt_band(-1, 128) == 32
+    assert resolve_rnnt_band(0, 128) == 0      # explicit exact
+    assert resolve_rnnt_band(16, 128) == 16    # explicit width
+
+
+def test_degenerate_row_masked_out_of_mean(rng):
+    """A row whose band prunes ALL paths (u_len ≥ Wp inside the first/last
+    block) must not blow up the batch loss: it is masked out and the mean
+    equals the clean rows' banded loss."""
+    enc, pred, jk, jb, labels, t_lens, u_lens = _inputs(rng, B=3, T=24, U=24)
+    band, Tb = 4, 8
+    # row 2 degenerate: t_len ≤ one time block, u_len == U ≥ Wp → the
+    # o[:,0]=0 path-start requirement makes its corner uncoverable
+    t_lens = jnp.asarray([24, 20, 6], np.int32)
+    u_lens = jnp.asarray([10, 8, 24], np.int32)
+    loss = rb.rnnt_loss_banded(enc, pred, jk, jb, labels, t_lens, u_lens,
+                               blank_id=0, band=band, time_block=Tb)
+    assert np.isfinite(float(loss)) and float(loss) < 1e6
+    clean = rb.rnnt_loss_banded(enc[:2], pred[:2], jk, jb, labels[:2],
+                                t_lens[:2], u_lens[:2],
+                                blank_id=0, band=band, time_block=Tb)
+    np.testing.assert_allclose(float(loss), float(clean), rtol=1e-5)
+    # gradients stay finite too (the masked row contributes zero)
+    g = jax.grad(lambda e: rb.rnnt_loss_banded(
+        e, pred, jk, jb, labels, t_lens, u_lens,
+        blank_id=0, band=band, time_block=Tb))(enc)
+    assert np.isfinite(np.asarray(g)).all()
+
+
 @pytest.mark.tpu
 def test_banded_on_chip_full_band_equals_exact(rng):
     """Compiled banded kernels on the real chip: full-width band == exact."""
