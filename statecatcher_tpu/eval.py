@@ -149,9 +149,16 @@ def evaluate(
                     for i in range(n_rows)
                 ]
                 raw_lens = in_lens
+                # Trimmed lens are consumed only by the STATEFUL RNN-T
+                # decoders (CTC uses skip-start force-blanking on raw_lens
+                # below).  Margin 0 there: the 2-frame CTC emission-latency
+                # margin would make the carried RNN-T state decode 2 frames
+                # into the overlap the next segment re-decodes from frame 0,
+                # double-emitting a boundary character.
                 in_lens = jnp.asarray(boundary_trimmed_lens(
                     np.asarray(in_lens), metas_k, sr,
                     cfg.frontend.hop_length, stack_order,
+                    latency_margin_frames=0,
                 ))
                 if use_rnnt_dec:
                     from statecatcher_tpu.rnnt_decode import (

@@ -419,10 +419,27 @@ def train(
                     def _to_global(x, sh=sh):
                         x = np.asarray(x)
                         idxs = sh.addressable_devices_indices_map(x.shape)
-                        starts = [s[0].start or 0 for s in idxs.values()]
-                        stops = [x.shape[0] if s[0].stop is None else s[0].stop
-                                 for s in idxs.values()]
-                        return make_global(x[min(starts):max(stops)], sh)
+                        spans = sorted({
+                            (s[0].start or 0,
+                             x.shape[0] if s[0].stop is None else s[0].stop)
+                            for s in idxs.values()
+                        })
+                        # the min:max slice below assumes this host's batch
+                        # rows are CONTIGUOUS; on a mesh layout mapping a
+                        # host to scattered rows it would silently restore
+                        # the wrong rows — fail loudly instead
+                        cur = spans[0][0]
+                        for a, b in spans:
+                            if a > cur:
+                                raise RuntimeError(
+                                    "mid-batch carry resume: this host's "
+                                    f"addressable batch rows {spans} are not "
+                                    "contiguous under the mesh layout — "
+                                    "cannot reassemble the restored carry "
+                                    "with a single slice"
+                                )
+                            cur = max(cur, b)
+                        return make_global(x[spans[0][0]:cur], sh)
 
                     carry = jax.tree.map(_to_global, resume_carry)
                 elif mesh_plan is not None:
