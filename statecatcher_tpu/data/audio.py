@@ -23,6 +23,29 @@ def have_ffmpeg() -> bool:
     return _FFMPEG is not None
 
 
+def decode_audio_fast(data: bytes, target_sr: int) -> np.ndarray:
+    """``decode_audio`` that keeps int16 PCM when a lossless passthrough
+    exists.
+
+    Returns mono int16 at ``target_sr`` when ``data`` is a mono PCM16
+    RIFF/WAVE already at ``target_sr`` — the production fast path: the train
+    loop's compact host→device transfer re-quantizes float audio back to
+    int16 anyway, and the float round-trip (pcm/32767 → rint(f·32767)) is
+    bit-exact for every int16 value, so skipping it changes nothing
+    downstream while saving two full passes and half the stacking bytes
+    (tools/profile_host_pipeline.py: host_prep 5.1k → ~33k audio-s/s/core).
+    Everything else falls back to ``decode_audio`` (float32).
+    """
+    if _is_wav(data):
+        parsed = _parse_wav_chunks(data)
+        if parsed is not None:
+            (audio_format, channels, sr, bits), raw = parsed
+            if (audio_format == 1 and bits == 16 and channels == 1
+                    and sr == target_sr):
+                return np.frombuffer(raw[: len(raw) & ~1], dtype="<i2").copy()
+    return decode_audio(data, target_sr)
+
+
 def decode_audio(data: bytes, target_sr: int) -> np.ndarray:
     """Decode arbitrary audio bytes → float32 mono at ``target_sr``.
 
@@ -70,34 +93,47 @@ def _is_wav(data: bytes) -> bool:
     return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
 
 
-def read_wav_bytes(data: bytes) -> tuple[np.ndarray, int, int]:
-    """Parse a RIFF/WAVE blob → (float32 samples [S, C] or [S], sr, channels)."""
-    if not _is_wav(data):
-        raise ValueError("Not a RIFF/WAVE file")
+def _parse_wav_chunks(data: bytes):
+    """RIFF walk → ((format, channels, sr, bits), data_memoryview) or None.
+
+    The payload is returned as a zero-copy memoryview — slicing multi-MB
+    podcast payloads as bytes would memcpy them once per chunk probe."""
     pos = 12
     fmt = None
     fmt_body = b""
     raw = None
     n = len(data)
+    view = memoryview(data)
     while pos + 8 <= n:
         cid, csize = struct.unpack_from("<4sI", data, pos)
         pos += 8
-        body = data[pos:pos + csize]
+        body = view[pos:pos + csize]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
-            fmt_body = body
+            fmt_body = bytes(body[:32])
         elif cid == b"data":
             raw = body
         pos += csize + (csize & 1)  # chunks are word-aligned
         if fmt is not None and raw is not None:
             break
     if fmt is None or raw is None:
-        raise ValueError("WAV missing fmt/data chunk")
+        return None
     audio_format, channels, sr, _, _, bits = fmt
     if audio_format == 0xFFFE and len(fmt_body) >= 26:
         # WAVE_FORMAT_EXTENSIBLE: real format code is the first word of the
         # SubFormat GUID at offset 24 of the fmt chunk.
         audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
+    return (audio_format, channels, sr, bits), raw
+
+
+def read_wav_bytes(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Parse a RIFF/WAVE blob → (float32 samples [S, C] or [S], sr, channels)."""
+    if not _is_wav(data):
+        raise ValueError("Not a RIFF/WAVE file")
+    parsed = _parse_wav_chunks(data)
+    if parsed is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    (audio_format, channels, sr, bits), raw = parsed
     if audio_format == 1 and bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
     elif audio_format == 1 and bits == 32:

@@ -110,6 +110,9 @@ def chunks_to_segments(
     segment_texts: list[str] = []
     segment_masks: list[np.ndarray] = []
 
+    # dtype-preserving: int16 passthrough audio (audio.decode_audio_fast)
+    # stays int16 end-to-end — the loop's compact transfer ships it verbatim
+    dtype = audio.dtype if audio.dtype == np.int16 else np.float32
     for (c_start, c_end, texts) in chunks:
         s_samp = int(c_start * sample_rate)
         e_samp = int(c_end * sample_rate)
@@ -120,11 +123,11 @@ def chunks_to_segments(
             mask = np.ones(target_samples, dtype=bool)
         else:
             pad = target_samples - real_len
-            seg = np.concatenate([seg, np.zeros(pad, dtype=np.float32)], axis=0)
+            seg = np.concatenate([seg, np.zeros(pad, dtype=dtype)], axis=0)
             mask = np.concatenate(
                 [np.ones(real_len, dtype=bool), np.zeros(pad, dtype=bool)], axis=0
             )
-        segment_arrays.append(np.ascontiguousarray(seg, dtype=np.float32))
+        segment_arrays.append(np.ascontiguousarray(seg, dtype=dtype))
         segment_masks.append(mask)
         segment_texts.append(" ".join(texts))
 
@@ -132,7 +135,7 @@ def chunks_to_segments(
         real_len = min(len(audio), target_samples)
         pad_len = target_samples - real_len
         seg = np.concatenate(
-            [audio[:real_len].astype(np.float32), np.zeros(pad_len, dtype=np.float32)]
+            [audio[:real_len].astype(dtype), np.zeros(pad_len, dtype=dtype)]
         )
         mask = np.concatenate(
             [np.ones(real_len, dtype=bool), np.zeros(pad_len, dtype=bool)]

@@ -26,7 +26,7 @@ from urllib3.util.retry import Retry
 
 logger = logging.getLogger("statecatcher.data")
 
-from statecatcher_tpu.data.audio import decode_audio
+from statecatcher_tpu.data.audio import decode_audio_fast
 from statecatcher_tpu.data.chunking import preprocess_recording
 
 
@@ -165,7 +165,7 @@ class SpeechDataset:
             audio_resp.raise_for_status()
         except Exception as e:
             raise RuntimeError(f"Failed to download audio: {e}")
-        audio = decode_audio(audio_resp.content, self.batch_samplerate)
+        audio = decode_audio_fast(audio_resp.content, self.batch_samplerate)
         try:
             tr_resp = self.session.get(transcript_url, timeout=10)
             tr_resp.raise_for_status()

@@ -13,7 +13,7 @@ import os
 import random
 from typing import Optional
 
-from statecatcher_tpu.data.audio import decode_audio, read_wav_bytes, to_mono
+from statecatcher_tpu.data.audio import decode_audio_fast, read_wav_bytes, to_mono
 from statecatcher_tpu.data.chunking import preprocess_recording
 
 
@@ -126,7 +126,7 @@ class LocalSpeechDataset:
     # ------------------------------------------------------------------ #
     def load_and_preprocess_batch_item(self, item: dict, target_samples: int):
         with open(item["local_audio_path"], "rb") as f:
-            audio = decode_audio(f.read(), self.batch_samplerate)
+            audio = decode_audio_fast(f.read(), self.batch_samplerate)
         with open(item["local_vtt_path"], "r") as f:
             vtt_text = f.read()
         return preprocess_recording(audio, vtt_text, self.batch_samplerate, target_samples)

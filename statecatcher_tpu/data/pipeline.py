@@ -157,13 +157,21 @@ class BatchPipeline:
 
 
 def stack_segment_slice(
-    batch: PreparedBatch, seg_idx: int, target_samples: int
+    batch: PreparedBatch, seg_idx: int, target_samples: int,
+    raw_dtype: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, list[str]]:
     """Stack segment ``seg_idx`` across recordings, zero-padding missing ones.
 
     Parity with reference train.py:186-201 (``prepare_batch_data``): items
     with fewer segments contribute silence + empty text under the "padding"
     strategy.
+
+    Items may carry int16 passthrough audio (``audio.decode_audio_fast``).
+    Default: rows are converted to the reference float32/32767 scale here.
+    ``raw_dtype=True`` (the train loop's compact-transfer path) keeps a
+    homogeneous-int16 batch as int16 — the jitted step de-quantizes on
+    device — skipping the float conversion AND the loop's re-quantization;
+    a mixed int16/float batch still stacks as float32.
     """
     audio_rows, mask_rows, texts = [], [], []
     for audios, texts_i, masks in zip(batch.audio_items, batch.text_items, batch.mask_items):
@@ -172,7 +180,18 @@ def stack_segment_slice(
             mask_rows.append(masks[seg_idx])
             texts.append(texts_i[seg_idx])
         else:
-            audio_rows.append(np.zeros(target_samples, dtype=np.float32))
+            audio_rows.append(None)
             mask_rows.append(np.zeros(target_samples, dtype=bool))
             texts.append("")
+    all_i16 = all(r is None or r.dtype == np.int16 for r in audio_rows)
+    keep_i16 = raw_dtype and all_i16
+    dtype = np.int16 if keep_i16 else np.float32
+    zeros = np.zeros(target_samples, dtype=dtype)
+    if not keep_i16:
+        audio_rows = [
+            r if r is None or r.dtype != np.int16
+            else r.astype(np.float32) / 32767.0
+            for r in audio_rows
+        ]
+    audio_rows = [zeros if r is None else r for r in audio_rows]
     return np.stack(audio_rows), np.stack(mask_rows), texts

@@ -5,7 +5,14 @@
 // parse, channel downmix, linear resample, int16 -> float32/32767 scaling.
 // Exposed through a C ABI consumed via ctypes (statecatcher_tpu/native).
 // Semantics are kept bit-compatible with the pure-numpy fallback
-// (statecatcher_tpu/data/audio.py) and cross-checked by tests.
+// (statecatcher_tpu/data/audio.py) and cross-checked by tests: the sample
+// scaling stays a true float32 DIVISION (a reciprocal multiply differs in
+// the last ulp from numpy's vdivps).
+//
+// Perf notes (tools/profile_host_pipeline.py): the size query (out=nullptr)
+// is header-only — it must NOT decode; the fill call decodes straight into
+// the caller's buffer so the common mono-PCM16-no-resample case is one
+// vectorizable pass over the payload with zero intermediate allocation.
 
 #include <cmath>
 #include <cstdint>
@@ -54,58 +61,71 @@ bool parse_wav(const uint8_t* buf, size_t n, WavInfo* out) {
   return have_fmt && have_data && out->channels > 0;
 }
 
-// decode to mono float32 at source rate
-bool decode_samples(const WavInfo& w, std::vector<float>* mono) {
+bool format_supported(const WavInfo& w) {
+  return (w.format == 1 && (w.bits == 16 || w.bits == 32 || w.bits == 8)) ||
+         (w.format == 3 && w.bits == 32);
+}
+
+// frame count from the header alone (no decode)
+size_t frame_count(const WavInfo& w) {
+  const size_t bytes_per_frame =
+      static_cast<size_t>(w.bits / 8) * w.channels;
+  return bytes_per_frame ? w.data_size / bytes_per_frame : 0;
+}
+
+size_t resampled_count(size_t frames, uint32_t sr_in, int sr_out) {
+  if (static_cast<int>(sr_in) == sr_out || frames == 0) return frames;
+  return static_cast<size_t>(
+      std::llround(static_cast<double>(frames) * sr_out / sr_in));
+}
+
+// decode to mono float32 at source rate, directly into dst (frame_count(w)
+// floats).  One pass, vectorizable in the mono cases.
+bool decode_samples(const WavInfo& w, float* dst) {
   const size_t ch = w.channels;
+  const size_t frames = frame_count(w);
   if (w.format == 1 && w.bits == 16) {
-    size_t frames = w.data_size / (2 * ch);
-    mono->resize(frames);
     const int16_t* s = reinterpret_cast<const int16_t*>(w.data);
-    for (size_t i = 0; i < frames; ++i) {
-      if (ch == 1) {
-        (*mono)[i] = static_cast<float>(s[i]) / 32767.0f;
-      } else {
+    if (ch == 1) {
+      for (size_t i = 0; i < frames; ++i)
+        dst[i] = static_cast<float>(s[i]) / 32767.0f;
+    } else {
+      for (size_t i = 0; i < frames; ++i) {
         // parity with numpy fallback: mean of per-channel float values
         float acc = 0.f;
         for (size_t c = 0; c < ch; ++c)
           acc += static_cast<float>(s[i * ch + c]) / 32767.0f;
-        (*mono)[i] = acc / static_cast<float>(ch);
+        dst[i] = acc / static_cast<float>(ch);
       }
     }
     return true;
   }
   if (w.format == 1 && w.bits == 32) {
-    size_t frames = w.data_size / (4 * ch);
-    mono->resize(frames);
     const int32_t* s = reinterpret_cast<const int32_t*>(w.data);
     for (size_t i = 0; i < frames; ++i) {
       float acc = 0.f;
       for (size_t c = 0; c < ch; ++c)
         acc += static_cast<float>(s[i * ch + c]) / 2147483647.0f;
-      (*mono)[i] = acc / static_cast<float>(ch);
+      dst[i] = acc / static_cast<float>(ch);
     }
     return true;
   }
   if (w.format == 1 && w.bits == 8) {
-    size_t frames = w.data_size / ch;
-    mono->resize(frames);
     const uint8_t* s = w.data;
     for (size_t i = 0; i < frames; ++i) {
       float acc = 0.f;
       for (size_t c = 0; c < ch; ++c)
         acc += (static_cast<float>(s[i * ch + c]) - 128.0f) / 127.0f;
-      (*mono)[i] = acc / static_cast<float>(ch);
+      dst[i] = acc / static_cast<float>(ch);
     }
     return true;
   }
   if (w.format == 3 && w.bits == 32) {
-    size_t frames = w.data_size / (4 * ch);
-    mono->resize(frames);
     const float* s = reinterpret_cast<const float*>(w.data);
     for (size_t i = 0; i < frames; ++i) {
       float acc = 0.f;
       for (size_t c = 0; c < ch; ++c) acc += s[i * ch + c];
-      (*mono)[i] = acc / static_cast<float>(ch);
+      dst[i] = acc / static_cast<float>(ch);
     }
     return true;
   }
@@ -113,27 +133,18 @@ bool decode_samples(const WavInfo& w, std::vector<float>* mono) {
 }
 
 // np.interp-compatible linear resampler (double-precision positions)
-void resample_linear(const std::vector<float>& in, int sr_in, int sr_out,
-                     std::vector<float>* out) {
-  if (sr_in == sr_out || in.empty()) {
-    *out = in;
-    return;
-  }
-  size_t n_out = static_cast<size_t>(
-      std::llround(static_cast<double>(in.size()) * sr_out / sr_in));
-  out->resize(n_out);
+void resample_linear(const float* in, size_t n_in, int sr_in, int sr_out,
+                     float* out, size_t n_out) {
   const double step = static_cast<double>(sr_in) / sr_out;
-  const size_t n_in = in.size();
   for (size_t i = 0; i < n_out; ++i) {
     double t = i * step;
     size_t lo = static_cast<size_t>(t);
     if (lo >= n_in - 1) {
-      (*out)[i] = in[n_in - 1];
+      out[i] = in[n_in - 1];
       continue;
     }
     double frac = t - lo;
-    (*out)[i] =
-        static_cast<float>(in[lo] * (1.0 - frac) + in[lo + 1] * frac);
+    out[i] = static_cast<float>(in[lo] * (1.0 - frac) + in[lo + 1] * frac);
   }
 }
 
@@ -142,26 +153,27 @@ void resample_linear(const std::vector<float>& in, int sr_in, int sr_out,
 extern "C" {
 
 // Returns number of output samples, or -1 on parse/format error.
-// Two-call protocol: pass out=nullptr to query the size first.
+// Two-call protocol: pass out=nullptr to query the size first (header-only,
+// no decode); the second call decodes once, straight into ``out``.
 long sc_decode_wav(const uint8_t* buf, size_t n, int target_sr, float* out,
                    size_t out_capacity) {
   WavInfo w;
   if (!parse_wav(buf, n, &w)) return -1;
-  std::vector<float> mono;
-  if (!decode_samples(w, &mono)) return -1;
-  std::vector<float> resampled;
-  const std::vector<float>* final_ptr = &mono;
-  if (static_cast<int>(w.sample_rate) != target_sr) {
-    resample_linear(mono, static_cast<int>(w.sample_rate), target_sr,
-                    &resampled);
-    final_ptr = &resampled;
+  if (!format_supported(w)) return -1;
+  const size_t frames = frame_count(w);
+  const size_t n_out = resampled_count(frames, w.sample_rate, target_sr);
+  if (out == nullptr) return static_cast<long>(n_out);
+  if (static_cast<int>(w.sample_rate) == target_sr || frames == 0) {
+    if (out_capacity < n_out) return -1;
+    if (!decode_samples(w, out)) return -1;
+    return static_cast<long>(n_out);
   }
-  if (out != nullptr) {
-    size_t n_copy =
-        final_ptr->size() < out_capacity ? final_ptr->size() : out_capacity;
-    memcpy(out, final_ptr->data(), n_copy * sizeof(float));
-  }
-  return static_cast<long>(final_ptr->size());
+  std::vector<float> mono(frames);
+  if (!decode_samples(w, mono.data())) return -1;
+  if (out_capacity < n_out) return -1;
+  resample_linear(mono.data(), frames, static_cast<int>(w.sample_rate),
+                  target_sr, out, n_out);
+  return static_cast<long>(n_out);
 }
 
 int sc_wav_sample_rate(const uint8_t* buf, size_t n) {

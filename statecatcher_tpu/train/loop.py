@@ -471,8 +471,12 @@ def train(
                     g_audio, g_mask, g_texts = [], [], []
                     g_tokens = []
                     for si in group_ids:
+                        # raw_dtype: int16 passthrough segments (PCM16
+                        # source at batch rate) stay int16 — compact
+                        # transfer ships them verbatim, no quantize pass
                         audio, mask, texts = stack_segment_slice(
-                            batch, si, target_samples
+                            batch, si, target_samples,
+                            raw_dtype=cfg.train.compact_transfer,
                         )
                         if n_rows < B_local:  # pad to fixed per-host shape
                             pad = B_local - n_rows
@@ -505,6 +509,17 @@ def train(
                         g_audio.append(np.zeros_like(g_audio[0]))
                         g_mask.append(np.zeros_like(g_mask[0]))
                         g_texts.append([""] * B_local)
+                    if any(a.dtype == np.int16 for a in g_audio) and not all(
+                        a.dtype == np.int16 for a in g_audio
+                    ):
+                        # mixed decode paths across the group: promote the
+                        # int16 segments to the float scale before stacking
+                        # (a bare np.stack would keep raw ±32767 magnitudes)
+                        g_audio = [
+                            a.astype(np.float32) / 32767.0
+                            if a.dtype == np.int16 else a
+                            for a in g_audio
+                        ]
                     audio_k = np.stack(g_audio)
                     mask_k = np.stack(g_mask)
                     if cfg.train.compact_transfer:
@@ -512,9 +527,14 @@ def train(
                         # bytes; the jitted step de-quantizes / rebuilds the
                         # frame mask on device (train/step.py, bit-identical
                         # for the PCM-derived audio the data plane produces).
-                        audio_q = np.clip(
-                            np.rint(audio_k * 32767.0), -32768.0, 32767.0
-                        ).astype(np.int16)
+                        if audio_k.dtype == np.int16:
+                            # int16 passthrough: already on the grid —
+                            # lossless by construction, no quantize pass
+                            audio_q = audio_k
+                        else:
+                            audio_q = np.clip(
+                                np.rint(audio_k * 32767.0), -32768.0, 32767.0
+                            ).astype(np.int16)
                         lens_k = np.count_nonzero(mask_k, axis=2).astype(np.int32)
                         if not compact_checked:
                             # one-time invariant checks on the first group:
@@ -536,7 +556,8 @@ def train(
                                 )
                             err = float(
                                 np.max(np.abs(audio_q / 32767.0 - audio_k))
-                            ) if audio_k.size else 0.0
+                            ) if audio_k.size and audio_k.dtype != np.int16 \
+                                else 0.0   # passthrough: exact by identity
                             if err > 1e-6:  # f32 PCM16 roundtrip noise ~1e-8
                                 logger.info(
                                     "compact_transfer: audio not on the int16 "

@@ -142,3 +142,48 @@ def test_local_dataset_sharding(tmp_path, rng):
         seen.append({item["local_audio_path"] for item in batch})
     assert seen[0] & seen[1] == set()
     assert len(seen[0] | seen[1]) == 5
+
+
+def test_pcm16_passthrough_decode(rng):
+    """decode_audio_fast keeps int16 for mono PCM16 at the target rate and
+    matches the float path exactly after /32767 scaling; other inputs fall
+    back to float32."""
+    from statecatcher_tpu.data.audio import decode_audio, decode_audio_fast
+
+    x = rng.uniform(-0.5, 0.5, 16000).astype(np.float32)
+    wav = write_wav_bytes(x, 16000)
+    fast = decode_audio_fast(wav, 16000)
+    assert fast.dtype == np.int16
+    np.testing.assert_array_equal(
+        fast.astype(np.float32) / 32767.0, decode_audio(wav, 16000)
+    )
+    resampled = decode_audio_fast(wav, 8000)       # rate mismatch: float path
+    assert resampled.dtype == np.float32
+    np.testing.assert_array_equal(resampled, decode_audio(wav, 8000))
+
+
+def test_stack_segment_slice_int16(tmp_path, rng):
+    """int16 passthrough segments: default stacking converts to the
+    reference float scale; raw_dtype keeps int16 for compact transfer."""
+    root = _write_local_fixtures(tmp_path, rng, n=2)
+    ds = LocalSpeechDataset(root)
+    ds.start_session(batch_size=2)
+    pipe = BatchPipeline(ds, target_samples=16000, num_workers=2)
+    b = pipe.next_batch()
+    assert all(a.dtype == np.int16 for aud in b.audio_items for a in aud)
+    audio_f, mask_f, _ = stack_segment_slice(b, 0, 16000)
+    assert audio_f.dtype == np.float32
+    audio_r, mask_r, _ = stack_segment_slice(b, 0, 16000, raw_dtype=True)
+    assert audio_r.dtype == np.int16
+    np.testing.assert_array_equal(
+        audio_r.astype(np.float32) / 32767.0, audio_f
+    )
+    np.testing.assert_array_equal(mask_f, mask_r)
+    # missing-segment padding rows stay silent in both dtypes
+    K = b.num_segments("padding")
+    audio_p, mask_p, texts_p = stack_segment_slice(b, K - 1, 16000,
+                                                   raw_dtype=True)
+    for i, count in enumerate(b.num_segments_per_item):
+        if K - 1 >= count:
+            assert not audio_p[i].any() and not mask_p[i].any()
+    pipe.stop()
