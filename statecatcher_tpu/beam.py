@@ -294,8 +294,9 @@ def committed_prefix_shift(
 
 
 def beam_commit(
-    state: BeamState, totals, reserve: int | None = None
-) -> tuple[BeamState, list[list[int]]]:
+    state: BeamState, totals, reserve: int | None = None,
+    return_best: bool = False,
+):
     """Hour-scale streaming commit for the CTC prefix-beam state.
 
     Host-side: extracts the committed (all-live-beams-agree) prefix of each
@@ -317,20 +318,31 @@ def beam_commit(
     toks, lens, live2, hashes, committed = committed_prefix_shift(
         np.asarray(state.toks), np.asarray(state.lens), live, best, reserve
     )
-    kill = ~live2
-    p_b = np.array(np.asarray(state.p_b), copy=True)
-    p_nb = np.array(np.asarray(state.p_nb), copy=True)
-    p_b[kill] = _NEG_INF
-    p_nb[kill] = _NEG_INF
+    # scores are killed ON DEVICE — pulling p_b/p_nb to the host would cost
+    # two more tunnel round trips per commit (profiled in streaming p95)
+    kill = jnp.asarray(~live2)
     new = BeamState(
-        p_b=jnp.asarray(p_b),
-        p_nb=jnp.asarray(p_nb),
+        p_b=jnp.where(kill, _NEG_INF, state.p_b),
+        p_nb=jnp.where(kill, _NEG_INF, state.p_nb),
         hashes=jnp.asarray(hashes),
         last=state.last,
         toks=jnp.asarray(toks),
         lens=jnp.asarray(lens),
     )
-    return new, committed
+    if not return_best:
+        return new, committed
+    # best beam's residual per row + the residual fill level, from the host
+    # arrays already in hand — callers serving partial results avoid
+    # re-pulling the new device state (a tunnel round trip each)
+    best_resid = []
+    for b in range(toks.shape[0]):
+        lw = np.where(live2[b])[0]
+        if lw.size == 0:
+            best_resid.append([])
+            continue
+        w = int(best[b]) if live2[b, best[b]] else int(lw[0])
+        best_resid.append([int(x) for x in toks[b, w, : lens[b, w]]])
+    return new, committed, best_resid, int(lens.max())
 
 
 def beam_hypotheses(state: BeamState, totals) -> list[list[tuple[float, list[int]]]]:

@@ -74,7 +74,19 @@ class StreamingRecognizer:
         self._beam_state: Optional[BeamState] = None
         self._rnnt_state = None
         self._committed: list[int] = []
+        self._best_packed = None   # device [len, toks...] of the best beam
+        self._best_resid_host: Optional[list] = None   # host cache post-commit
+        # host-side upper bound on the device buffers' fill level — lets the
+        # commit check run WITHOUT a per-chunk device sync (profiled: the
+        # blocking ``int(lens)`` fetch serialized the pipeline every chunk)
+        self._fill_bound = 0
 
+        # One fused jit per chunk: encode AND decode advance in a single
+        # dispatch, decode state stays device-resident, and only the
+        # minimal result crosses the tunnel (greedy: (1, T) int32 preds
+        # instead of the (1, T, V) float log-probs).  Streaming latency is
+        # dispatch-round-trip-bound on this box (tools/profile_streaming.py)
+        # so one dispatch per chunk is the headline lever.
         if decoder == "rnnt":
             pt, jk, jb = model.apply(params, method="rnnt_decode_tables")
             self._rnnt_tables = tuple(
@@ -89,6 +101,35 @@ class StreamingRecognizer:
                 )
                 enc_p = model.apply(params, logits, method="rnnt_project_encoder")
                 return enc_p.astype(jnp.float32), new_carry
+
+            def _step_chunk(params, audio, carry, dec_state):
+                from statecatcher_tpu.rnnt_decode import rnnt_greedy_decode
+
+                enc_p, new_carry = _encode_chunk(params, audio, carry)
+                new_state = rnnt_greedy_decode(
+                    enc_p, *self._rnnt_tables,
+                    jnp.asarray([enc_p.shape[1]]), blank_id=self.blank_id,
+                    init_state=dec_state,
+                )
+                return new_state, new_carry
+
+            self._step_chunk = jax.jit(_step_chunk)
+        elif decoder == "greedy":
+            @jax.jit
+            def _encode_chunk(params, audio, carry):
+                feats = compute_features(audio, fe)
+                logits, new_carry = model.apply(params, feats, carry, None)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                return lp, new_carry
+
+            @jax.jit
+            def _step_chunk(params, audio, carry):
+                feats = compute_features(audio, fe)
+                logits, new_carry = model.apply(params, feats, carry, None)
+                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return preds, new_carry
+
+            self._step_chunk = _step_chunk
         else:
             @jax.jit
             def _encode_chunk(params, audio, carry):
@@ -97,6 +138,26 @@ class StreamingRecognizer:
                 lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
                 return lp, new_carry
 
+            def _step_chunk(params, audio, carry, beam_state):
+                feats = compute_features(audio, fe)
+                logits, new_carry = model.apply(params, feats, carry, None)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                new_state, totals = ctc_beam_search(
+                    lp, jnp.asarray([lp.shape[1]]), beam=self.beam,
+                    blank_id=self.blank_id, max_len=self.max_out,
+                    init_state=beam_state,
+                )
+                # best hypothesis extracted ON DEVICE and packed into one
+                # int32 array [len, toks...]: ``tokens`` then costs a single
+                # small fetch instead of pulling the whole beam state
+                # (profiled: 3-4 per-array tunnel round trips per chunk)
+                b = jnp.argmax(totals[0])
+                best = jnp.concatenate(
+                    [new_state.lens[0, b][None], new_state.toks[0, b]])
+                return new_state, totals, best, new_carry
+
+            self._step_chunk = jax.jit(_step_chunk)
+
         self._encode_chunk = _encode_chunk
 
     # ------------------------------------------------------------------ #
@@ -104,13 +165,58 @@ class StreamingRecognizer:
         """Feed samples (float32, model sample rate); decode what completes."""
         self._buffer = np.concatenate([self._buffer, samples.astype(np.float32)])
         need = self.chunk_samples + self.lookahead
+        t_enc = self.chunk_frames // self.stack_order
         while len(self._buffer) >= need:
             chunk = self._buffer[:need]
             self._buffer = self._buffer[self.chunk_samples:]
-            lp, self._carry = self._encode_chunk(
-                self.params, jnp.asarray(chunk[None]), self._carry
-            )
-            self._advance_decode(lp)
+            audio = jnp.asarray(chunk[None])
+            if self.decoder == "greedy":
+                preds, self._carry = self._step_chunk(
+                    self.params, audio, self._carry)
+                self._absorb_greedy(np.asarray(preds)[0])
+            elif self.decoder == "rnnt":
+                from statecatcher_tpu.rnnt_decode import (
+                    rnnt_decode_init,
+                    rnnt_drain,
+                )
+
+                if self._rnnt_state is None:
+                    self._rnnt_state = rnnt_decode_init(
+                        1, self.max_out, self.blank_id)
+                self._rnnt_state, self._carry = self._step_chunk(
+                    self.params, audio, self._carry, self._rnnt_state)
+                self._fill_bound += t_enc * 4        # ≤ max_symbols emits/frame
+                if self._fill_bound >= self.max_out // 2:
+                    self._rnnt_state, com = rnnt_drain(self._rnnt_state)
+                    self._committed.extend(com[0])
+                    self._fill_bound = 0
+            else:
+                from statecatcher_tpu.beam import beam_commit
+
+                if self._beam_state is None:
+                    self._beam_state = beam_init(1, self.beam, self.max_out)
+                (self._beam_state, self._totals, self._best_packed,
+                 self._carry) = self._step_chunk(
+                    self.params, audio, self._carry, self._beam_state)
+                self._best_resid_host = None
+                self._fill_bound += t_enc            # ≤ 1 CTC emit/frame
+                if self._fill_bound >= self.max_out // 2:
+                    self._beam_state, com, best_resid, fill = beam_commit(
+                        self._beam_state, self._totals,
+                        reserve=self.max_out // 2, return_best=True,
+                    )
+                    self._totals = jnp.logaddexp(
+                        self._beam_state.p_b, self._beam_state.p_nb)
+                    self._committed.extend(com[0])
+                    self._fill_bound = fill
+                    self._best_packed = None         # residual shifted
+                    self._best_resid_host = best_resid[0]
+
+    def _absorb_greedy(self, preds: np.ndarray):
+        for tok in preds.tolist():
+            if tok != self.blank_id and tok != self._prev_argmax:
+                self._tokens.append(tok)
+            self._prev_argmax = tok
 
     def finish(self):
         """Flush remaining buffered samples (zero-padded to a full chunk)."""
@@ -131,6 +237,10 @@ class StreamingRecognizer:
 
     # ------------------------------------------------------------------ #
     def _advance_decode(self, lp):
+        """Flush-path decode advance (variable trimmed T — ``finish()``).
+
+        The steady-state chunk path runs through the fused ``_step_chunk``
+        dispatch in ``accept_waveform`` instead."""
         T = lp.shape[1]
         if T == 0:
             return
@@ -155,13 +265,10 @@ class StreamingRecognizer:
                 self._rnnt_state, com = rnnt_drain(self._rnnt_state)
                 self._committed.extend(com[0])
             return
+        self._best_packed = None   # state advances off the fused fast path
+        self._best_resid_host = None
         if self.decoder == "greedy":
-            preds = np.asarray(jnp.argmax(lp[0], axis=-1))
-            for t in range(T):
-                tok = int(preds[t])
-                if tok != self.blank_id and tok != self._prev_argmax:
-                    self._tokens.append(tok)
-                self._prev_argmax = tok
+            self._absorb_greedy(np.asarray(jnp.argmax(lp[0], axis=-1)))
         else:
             if self._beam_state is None:
                 self._beam_state = beam_init(1, self.beam, self.max_out)
@@ -195,6 +302,12 @@ class StreamingRecognizer:
             return list(self._tokens)
         if self._beam_state is None:
             return list(self._committed)
+        if self._best_packed is not None:
+            packed = np.asarray(self._best_packed)     # ONE small fetch
+            n = int(packed[0])
+            return self._committed + packed[1 : 1 + n].tolist()
+        if self._best_resid_host is not None:          # post-commit: no fetch
+            return self._committed + list(self._best_resid_host)
         hyps = beam_hypotheses(self._beam_state, self._totals)[0]
         return self._committed + (hyps[0][1] if hyps else [])
 
@@ -227,3 +340,6 @@ class StreamingRecognizer:
         self._beam_state = None
         self._rnnt_state = None
         self._committed = []
+        self._best_packed = None
+        self._best_resid_host = None
+        self._fill_bound = 0
