@@ -179,6 +179,15 @@ class TrainConfig:
     # per U bucket at trace time — exact for padded U ≤ 64 (measured tie),
     # band 32 above it (+36 % at U=128, BASELINE.md round-4 table).
     rnnt_band: int = -1
+    # On-the-fly hallucination / bad-transcript filtering (the reference's
+    # last roadmap item, reference README.md:30): per-utterance losses are
+    # z-scored against a rolling median/MAD window
+    # (metrics.LossOutlierDetector); a flagged recording is quarantined —
+    # its remaining segments train with row_valid=False — and reported via
+    # the dataset's log endpoint.  0 disables.
+    hallucination_zscore: float = 6.0
+    hallucination_window: int = 512        # rolling window of recent losses
+    hallucination_min_window: int = 64     # no flagging before this many
     epochs: int = 10
     steps: Optional[int] = None
     optim: OptimConfig = field(default_factory=OptimConfig)

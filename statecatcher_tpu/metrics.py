@@ -17,6 +17,8 @@ import time
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
+import numpy as np
+
 
 # --------------------------------------------------------------------------- #
 # WER (word error rate) — jiwer-equivalent Levenshtein on whitespace tokens
@@ -208,3 +210,43 @@ class StageTimer:
             k: {"total_s": v, "mean_s": v / max(1, self.counts[k]), "n": self.counts[k]}
             for k, v in sorted(self.totals.items())
         }
+
+
+class LossOutlierDetector:
+    """Robust per-utterance loss outlier detector (hallucination filter).
+
+    The last reference roadmap item (reference README.md:30: "on-the-fly
+    hallucination detection and filtering of bad automatic transcripts"):
+    mis-aligned VTTs are endemic in podcast data, and a garbage transcript
+    shows up as a per-utterance loss far above its peers.  This keeps a
+    rolling window of recent per-utterance losses and flags values whose
+    robust z-score — (x − median) / (1.4826·MAD) — exceeds ``zscore``.
+    Median/MAD (not mean/std) so the outliers being hunted cannot poison
+    the statistics; flagged values are NOT added to the window.
+    """
+
+    def __init__(self, zscore: float = 6.0, window: int = 512,
+                 min_window: int = 64):
+        from collections import deque
+
+        self.zscore = float(zscore)
+        self.min_window = int(min_window)
+        self._win = deque(maxlen=int(window))
+        self.flagged = 0
+
+    def update(self, x: float) -> bool:
+        """Observe one per-utterance loss; True = outlier (quarantine)."""
+        import math
+
+        if not math.isfinite(x):
+            return False          # non-finite is the bad-segment filter's job
+        if len(self._win) >= self.min_window:
+            vals = np.fromiter(self._win, dtype=np.float64)
+            med = float(np.median(vals))
+            mad = float(np.median(np.abs(vals - med)))
+            z = (x - med) / (1.4826 * mad + 1e-9)
+            if z > self.zscore:
+                self.flagged += 1
+                return True
+        self._win.append(float(x))
+        return False

@@ -162,6 +162,7 @@ def rnnt_loss_fused(
     blank_id: int = 0,
     row_valid: Optional[jnp.ndarray] = None,
     time_chunk: int = 32,
+    return_per: bool = False,
 ) -> jnp.ndarray:
     """Transducer loss fused with the add-joiner (tanh joint, reference
     model.py:129-145): joint logits exist only inside remat chunks."""
@@ -207,6 +208,8 @@ def rnnt_loss_fused(
 
     per = rnnt_nll_from_blank_emit(blank_lp, emit_lp, t_lens, u_lens)
     if row_valid is None:
-        return jnp.mean(per)
-    valid = row_valid.astype(per.dtype)
-    return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        loss = jnp.mean(per)
+    else:
+        valid = row_valid.astype(per.dtype)
+        loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return (loss, per) if return_per else loss

@@ -367,7 +367,7 @@ def rnnt_nll_banded(blank_b, emit_b, o, t_lens, u_lens, time_block: int):
 def rnnt_loss_banded(
     enc_proj, pred_proj, join_kernel, join_bias, labels,
     t_lens, u_lens, blank_id: int = 0, row_valid=None,
-    time_block: int = 8, band: int = 48,
+    time_block: int = 8, band: int = 48, return_per: bool = False,
 ):
     """Banded transducer loss (mean over valid rows, warp_rnnt parity norm).
 
@@ -393,4 +393,5 @@ def rnnt_loss_banded(
     per = jnp.where(ok, per, 0.0)        # where, not *: NaN·0 = NaN
     finite = ok.astype(per.dtype)
     valid = finite if row_valid is None else row_valid.astype(per.dtype) * finite
-    return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return (loss, per) if return_per else loss

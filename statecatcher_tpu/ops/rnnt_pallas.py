@@ -311,6 +311,7 @@ def rnnt_loss_pallas(
     blank_id: int = 0,
     row_valid=None,
     time_block: int = 8,
+    return_per: bool = False,
 ) -> jnp.ndarray:
     """Transducer loss with the fused Pallas joint + XLA lattice DP.
 
@@ -325,6 +326,8 @@ def rnnt_loss_pallas(
     )
     per = rnnt_nll_dp_pallas(blank_lp, emit_lp, t_lens, u_lens)
     if row_valid is None:
-        return jnp.mean(per)
-    valid = row_valid.astype(per.dtype)
-    return jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        loss = jnp.mean(per)
+    else:
+        valid = row_valid.astype(per.dtype)
+        loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return (loss, per) if return_per else loss

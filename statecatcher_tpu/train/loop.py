@@ -295,6 +295,18 @@ def train(
     n_batches = 0
     stop = False
     pending = None  # deferred metrics of the in-flight dispatch
+    # Hallucination / bad-transcript filter (reference roadmap README.md:30):
+    # per-utterance losses z-scored against a rolling median/MAD window; a
+    # flagged recording's remaining segments are quarantined via row_valid.
+    halluc = None
+    if cfg.train.hallucination_zscore > 0:
+        from statecatcher_tpu.metrics import LossOutlierDetector
+
+        halluc = LossOutlierDetector(
+            cfg.train.hallucination_zscore,
+            cfg.train.hallucination_window,
+            cfg.train.hallucination_min_window,
+        )
     carry = None
     compact_checked = False  # one-time compact_transfer invariant checks
     # data-session cursor: how many recording batches this session has fully
@@ -316,11 +328,50 @@ def train(
     batches_done_total = skip_batches
 
     def _resolve_metrics(p):
-        outs, group, last_texts, rows, audio_secs, step_at = p
+        outs, group, last_texts, rows, audio_secs, step_at, \
+            rv_host, quarantined, batch_ident = p
         loss_vals = np.asarray(outs.loss)[:group]   # replicated scalars
         losses.extend(float(x) for x in loss_vals)
         loss_history.extend(float(x) for x in loss_vals)
         meter.step(audio_secs)
+        if halluc is not None:
+            pl = np.asarray(local_rows(outs.per_loss, batch_axis=1))[:group]
+            for k in range(group):
+                # Detrend: the raw per-utterance NLL falls as training
+                # progresses, which would leave every current value below a
+                # trailing window's median.  The residual against the
+                # CONTEMPORANEOUS group median is stationary — a bad
+                # transcript sits far above its own batch peers at every
+                # point of training.
+                cur = [
+                    float(pl[k, i]) for i in range(min(rows, pl.shape[1]))
+                    if rv_host[k, i] and not quarantined[i]
+                    and np.isfinite(pl[k, i])
+                ]
+                if not cur:
+                    continue
+                group_med = float(np.median(cur))
+                for i in range(min(rows, pl.shape[1])):
+                    if quarantined[i] or not rv_host[k, i]:
+                        continue
+                    if halluc.update(float(pl[k, i]) - group_med):
+                        # quarantine the rest of this recording (detection
+                        # runs one dispatch behind — the affected rows stop
+                        # training from the next segment group on) and
+                        # report through the server log endpoint the
+                        # reference already calls (reference train.py log)
+                        quarantined[i] = True
+                        msg = (
+                            "hallucination filter: quarantined row "
+                            f"{i} of batch {batch_ident} (per-utterance "
+                            f"loss {pl[k, i]:.3f}, robust z > "
+                            f"{cfg.train.hallucination_zscore:g})"
+                        )
+                        logger.warning(msg)
+                        try:
+                            dataset.log("WARNING", msg)
+                        except Exception:
+                            pass
         if len(losses) >= cfg.train.log_every_n:
             with timer.time("metrics"):
                 last = group - 1
@@ -338,6 +389,9 @@ def train(
                 sinks.track(ter, f"train_ter_{cfg.train.log_every_n}", step_at)
                 sinks.track(float(outs.grad_norm[last]), "grad_norm", step_at)
                 sinks.track(meter.audio_seconds_per_second, "audio_sec_per_sec", step_at)
+                if halluc is not None:
+                    sinks.track(
+                        halluc.flagged, "hallucination_quarantined", step_at)
                 losses.clear()
                 window_refs.clear()
                 window_hyps.clear()
@@ -397,6 +451,10 @@ def train(
                 K, "min" if cfg.data.batch_segment_strategy == "clipping" else "max"
             )
             n_rows = len(batch.audio_items)
+            # hallucination-filter quarantine state, per recording batch:
+            # a flagged row stops training (row_valid=False) for the rest
+            # of its recording
+            quarantined = np.zeros(B_local, bool)
 
             # Reset the carry at each new recording batch (reference
             # train.py:460) — fixed shape B for compile-once.  On the first
@@ -489,7 +547,8 @@ def train(
                         g_texts.append(texts)
                         g_tokens.append(token_ids)
                     row_valid = np.broadcast_to(
-                        np.arange(B_local) < n_rows, (KG, B_local)
+                        (np.arange(B_local) < n_rows) & ~quarantined,
+                        (KG, B_local),
                     )
                     seg_valid = np.arange(KG) < group
                     # common token padding across the group (bucketed); all
@@ -603,6 +662,7 @@ def train(
                 pending = (
                     outs, group, g_texts[group - 1], n_rows,
                     float(mask_k[:group].sum()) / sr, global_step,
+                    row_valid, quarantined, batch.batch_id,
                 )
 
                 if (
@@ -653,4 +713,5 @@ def train(
         "loss_history": list(loss_history),
         "audio_sec_per_sec": meter.audio_seconds_per_second,
         "stage_timing": timer.summary(),
+        "hallucination_quarantined": halluc.flagged if halluc else 0,
     }

@@ -48,6 +48,7 @@ class StepOutput(NamedTuple):
     preds: jnp.ndarray         # (B, T) greedy argmax tokens
     keep: jnp.ndarray          # (B, T) greedy keep-mask
     in_lens: jnp.ndarray       # (B,)
+    per_loss: jnp.ndarray      # (B,) per-utterance loss (hallucination filter)
 
 
 TrainStepFn = Callable[..., tuple[TrainState, Any, StepOutput]]
@@ -123,6 +124,7 @@ def make_train_step(
         out_shardings=(None, batch_sh, StepOutput(
             loss=repl_sh, grad_norm=repl_sh,
             preds=batch_sh, keep=batch_sh, in_lens=batch_sh,
+            per_loss=batch_sh,
         )),
     )
 
@@ -170,6 +172,7 @@ def make_segment_scan_step(
                     preds=jnp.zeros(_pred_shape(a, cfg), jnp.int32),
                     keep=jnp.zeros(_pred_shape(a, cfg), jnp.bool_),
                     in_lens=jnp.zeros((a.shape[0],), jnp.int32),
+                    per_loss=jnp.zeros((a.shape[0],), jnp.float32),
                 )
                 return st, cr, dummy
 
@@ -201,6 +204,7 @@ def make_segment_scan_step(
         out_shardings=(None, batch_sh, StepOutput(
             loss=repl_sh, grad_norm=repl_sh,
             preds=seg_sh, keep=seg_sh, in_lens=seg_sh,
+            per_loss=seg_sh,
         )),
     )
 
@@ -285,23 +289,25 @@ def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
                 if band > 0 and impl == "pallas":
                     from statecatcher_tpu.ops.rnnt_band import rnnt_loss_banded
 
-                    loss = rnnt_loss_banded(
+                    loss, per = rnnt_loss_banded(
                         enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
                         blank_id=blank_id, row_valid=row_valid,
                         time_block=cfg.train.rnnt_time_block,
-                        band=band,
+                        band=band, return_per=True,
                     )
                 elif impl == "pallas":
-                    loss = rnnt_loss_pallas(
+                    loss, per = rnnt_loss_pallas(
                         enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
                         blank_id=blank_id, row_valid=row_valid,
                         time_block=cfg.train.rnnt_time_block,
+                        return_per=True,
                     )
                 else:
-                    loss = rnnt_loss_fused(
+                    loss, per = rnnt_loss_fused(
                         enc_p, pred_p, jk, jb, tokens, in_lens, tok_lens,
                         blank_id=blank_id, row_valid=row_valid,
                         time_chunk=cfg.train.rnnt_time_chunk,
+                        return_per=True,
                     )
             else:
                 logits, new_state = model.apply(params, feats, carry_in, frame_mask)
@@ -310,9 +316,16 @@ def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
                 )
                 valid = row_valid.astype(per.dtype)
                 loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1.0)
-            return loss, (logits, new_state)
+                # hallucination filter wants the TOTAL per-utterance NLL:
+                # the PyTorch label-length normalization inverts the outlier
+                # signal (a garbage transcript's big NLL gets divided by its
+                # big length); totals are comparable across rows because
+                # segments share one fixed duration (RNN-T per is already
+                # the warp_rnnt-parity total)
+                per = per * jnp.maximum(tok_lens, 1).astype(per.dtype)
+            return loss, (logits, new_state, per)
 
-        (loss, (logits, new_state)), grads = jax.value_and_grad(
+        (loss, (logits, new_state, per_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         grad_norm = optax.global_norm(grads)
@@ -338,7 +351,9 @@ def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):
             jax.lax.stop_gradient(logits), in_lens, blank_id
         )
         out = StepOutput(
-            loss=loss, grad_norm=grad_norm, preds=preds, keep=keep, in_lens=in_lens
+            loss=loss, grad_norm=grad_norm, preds=preds, keep=keep,
+            in_lens=in_lens,
+            per_loss=jax.lax.stop_gradient(per_loss).astype(jnp.float32),
         )
         return state, new_state, out
 
