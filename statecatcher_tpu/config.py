@@ -176,8 +176,8 @@ class TrainConfig:
     # (ops/rnnt_band.py) — cuts the T×U×V softmax work by ~U/band.  0 = the
     # exact full lattice (proven VPU-exp-bound at U=128, so banding is the
     # remaining throughput lever).  -1 (default) = auto: the step picks
-    # per U bucket at trace time — exact for padded U ≤ 64 (measured tie),
-    # band 32 above it (+36 % at U=128, BASELINE.md round-4 table).
+    # per U bucket at trace time — exact for padded U ≤ 48, band 32 above
+    # it (+5 % at U=64, +59 % at U=128; BASELINE.md round-5 crossover).
     rnnt_band: int = -1
     # On-the-fly hallucination / bad-transcript filtering (the reference's
     # last roadmap item, reference README.md:30): per-utterance losses are

@@ -237,15 +237,17 @@ def resolve_rnnt_band(requested: int, u_pad: int) -> int:
     """Band width for the transducer loss at a given padded label length.
 
     ``requested`` ≥ 0 is honored verbatim (0 = exact).  -1 = auto: exact for
-    u_pad ≤ 64, band 32 above — the measured crossover (BASELINE.md round-4:
-    U=64 exact 6993 vs band 6946; U=128 exact 5133 vs band=32 6963).  u_pad
-    is a static trace-time shape (train/loop.py buckets U to multiples of
-    16), so every U bucket compiles with its own choice and a long-label
-    dispatch no longer leaves ~26 % on the table unless a flag is set.
+    u_pad ≤ 48, band 32 above — the measured crossover at the retuned
+    B=96/K=16 defaults (BASELINE.md round-5: the banded cost is
+    ~U-independent at ~8.1k audio-s/s while exact falls 9.8k → 8.7k → 7.7k
+    → 5.1k over U = 32/48/64/128).  u_pad is a static trace-time shape
+    (train/loop.py buckets U to multiples of 16), so every U bucket
+    compiles with its own choice and a long-label dispatch no longer
+    leaves ~26 % on the table unless a flag is set.
     """
     if requested >= 0:
         return requested
-    return 32 if u_pad > 64 else 0
+    return 32 if u_pad > 48 else 0
 
 
 def _make_step_body(model, cfg: Config, blank_id: int, ctc_impl: str):

@@ -152,9 +152,9 @@ def test_resolve_rnnt_band_auto():
     from statecatcher_tpu.train.step import resolve_rnnt_band
 
     assert resolve_rnnt_band(-1, 16) == 0
-    assert resolve_rnnt_band(-1, 64) == 0      # exact ties the band here
-    assert resolve_rnnt_band(-1, 80) == 32     # long labels: band wins +26-36 %
-    assert resolve_rnnt_band(-1, 128) == 32
+    assert resolve_rnnt_band(-1, 48) == 0      # exact wins below the crossover
+    assert resolve_rnnt_band(-1, 64) == 32     # band wins from here (+5 %)
+    assert resolve_rnnt_band(-1, 128) == 32    # ... and +59 % at U=128
     assert resolve_rnnt_band(0, 128) == 0      # explicit exact
     assert resolve_rnnt_band(16, 128) == 16    # explicit width
 
