@@ -162,7 +162,8 @@ def main():
                  xlstm_chunk="256"),
             dict(base, encoder="lucyrnn", mode="rnnt", U=64),
             # U=128 long-label row: exercises the auto band selection
-            # (train.rnnt_band=-1 default → band 32 at padded U > 64)
+            # (train.rnnt_band=-1 default → band 32 at padded U > 48,
+            # i.e. from the 64 bucket on — the U=64 row above is banded too)
             dict(base, encoder="lucyrnn", mode="rnnt", U=128),
             dict(base, encoder="lstm", mode="ctc"),
         ):

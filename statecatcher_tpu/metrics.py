@@ -234,19 +234,28 @@ class LossOutlierDetector:
         self._win = deque(maxlen=int(window))
         self.flagged = 0
 
+    def _z(self, x: float) -> float:
+        vals = np.fromiter(self._win, dtype=np.float64)
+        med = float(np.median(vals))
+        mad = float(np.median(np.abs(vals - med)))
+        return (x - med) / (1.4826 * mad + 1e-9)
+
     def update(self, x: float) -> bool:
         """Observe one per-utterance loss; True = outlier (quarantine)."""
         import math
 
         if not math.isfinite(x):
             return False          # non-finite is the bad-segment filter's job
-        if len(self._win) >= self.min_window:
-            vals = np.fromiter(self._win, dtype=np.float64)
-            med = float(np.median(vals))
-            mad = float(np.median(np.abs(vals - med)))
-            z = (x - med) / (1.4826 * mad + 1e-9)
-            if z > self.zscore:
+        n = len(self._win)
+        if n >= self.min_window:
+            if self._z(x) > self.zscore:
                 self.flagged += 1
                 return True
+        elif n >= max(4, self.min_window // 8) and self._z(x) > self.zscore:
+            # warm-up absorption guard: flagging isn't allowed yet, but an
+            # extreme value is still WITHHELD from the window — a bad
+            # recording present from step 0 must not poison the bootstrap
+            # statistics it will later be judged against
+            return False
         self._win.append(float(x))
         return False

@@ -124,10 +124,17 @@ def train_step_roofline(
         Jp = -(-(J + 1) // 128) * 128
         U1p = -(-U1 // 8) * 8
         Vp = -(-V // 128) * 128
-        # banded lattice (train.rnnt_band > 0): the joint only visits a
-        # width-Wp window of u per time block (ops/rnnt_band.py), so the
-        # executed joint/softmax work scales by Wp/U1p
+        # banded lattice: the joint only visits a width-Wp window of u per
+        # time block (ops/rnnt_band.py), so the executed joint/softmax work
+        # scales by Wp/U1p.  -1 = auto resolves exactly like the step does
+        # (train/step.py:resolve_rnnt_band) so the SoL floor models what
+        # actually runs.
         band = getattr(cfg.train, "rnnt_band", 0)
+        if band < 0:
+            from statecatcher_tpu.train.step import resolve_rnnt_band
+
+            # the step sees the loop's U bucket (labels padded to ×16)
+            band = resolve_rnnt_band(band, -(-(U1 - 1) // 16) * 16)
         if band > 0:
             tb = cfg.train.rnnt_time_block
             Wp = -(-min(band + 8 + tb, U1 + 8) // 8) * 8

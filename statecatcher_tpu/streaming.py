@@ -25,6 +25,21 @@ from statecatcher_tpu.frontend import compute_features
 from statecatcher_tpu.models.asr import init_carry
 
 
+def _make_ctc_encode_chunk(model, fe):
+    """The ONE definition of the CTC streaming encode body — shared by the
+    greedy/beam fused chunk steps AND the finish() flush path, so the
+    steady-state and flush decodes can never diverge."""
+
+    @jax.jit
+    def _encode_chunk(params, audio, carry):
+        feats = compute_features(audio, fe)
+        logits, new_carry = model.apply(params, feats, carry, None)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return lp, new_carry
+
+    return _encode_chunk
+
+
 class StreamingRecognizer:
     """Single-utterance streaming recognition with carried encoder state."""
 
@@ -115,33 +130,21 @@ class StreamingRecognizer:
 
             self._step_chunk = jax.jit(_step_chunk)
         elif decoder == "greedy":
-            @jax.jit
-            def _encode_chunk(params, audio, carry):
-                feats = compute_features(audio, fe)
-                logits, new_carry = model.apply(params, feats, carry, None)
-                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-                return lp, new_carry
+            _encode_chunk = _make_ctc_encode_chunk(model, fe)
 
             @jax.jit
             def _step_chunk(params, audio, carry):
-                feats = compute_features(audio, fe)
-                logits, new_carry = model.apply(params, feats, carry, None)
-                preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return preds, new_carry
+                # argmax commutes with log_softmax — only (1, T) int32
+                # preds cross the tunnel, not the (1, T, V) float lp
+                lp, new_carry = _encode_chunk(params, audio, carry)
+                return jnp.argmax(lp, axis=-1).astype(jnp.int32), new_carry
 
             self._step_chunk = _step_chunk
         else:
-            @jax.jit
-            def _encode_chunk(params, audio, carry):
-                feats = compute_features(audio, fe)
-                logits, new_carry = model.apply(params, feats, carry, None)
-                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-                return lp, new_carry
+            _encode_chunk = _make_ctc_encode_chunk(model, fe)
 
             def _step_chunk(params, audio, carry, beam_state):
-                feats = compute_features(audio, fe)
-                logits, new_carry = model.apply(params, feats, carry, None)
-                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                lp, new_carry = _encode_chunk(params, audio, carry)
                 new_state, totals = ctc_beam_search(
                     lp, jnp.asarray([lp.shape[1]]), beam=self.beam,
                     blank_id=self.blank_id, max_len=self.max_out,

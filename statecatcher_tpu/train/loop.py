@@ -308,7 +308,8 @@ def train(
             cfg.train.hallucination_min_window,
         )
     carry = None
-    compact_checked = False  # one-time compact_transfer invariant checks
+    compact_checked = False  # one-time compact_transfer prefix-mask check
+    compact_err_checked = False  # one-time int16-grid probe (first FLOAT group)
     # data-session cursor: how many recording batches this session has fully
     # processed, and the next segment index within the in-flight batch.  Saved
     # with every checkpoint so resume can re-enter mid-recording-batch (the
@@ -329,7 +330,7 @@ def train(
 
     def _resolve_metrics(p):
         outs, group, last_texts, rows, audio_secs, step_at, \
-            rv_host, quarantined, batch_ident = p
+            row_real, quarantined, batch_ident = p
         loss_vals = np.asarray(outs.loss)[:group]   # replicated scalars
         losses.extend(float(x) for x in loss_vals)
         loss_history.extend(float(x) for x in loss_vals)
@@ -345,14 +346,14 @@ def train(
                 # point of training.
                 cur = [
                     float(pl[k, i]) for i in range(min(rows, pl.shape[1]))
-                    if rv_host[k, i] and not quarantined[i]
+                    if row_real[k, i] and not quarantined[i]
                     and np.isfinite(pl[k, i])
                 ]
                 if not cur:
                     continue
                 group_med = float(np.median(cur))
                 for i in range(min(rows, pl.shape[1])):
-                    if quarantined[i] or not rv_host[k, i]:
+                    if quarantined[i] or not row_real[k, i]:
                         continue
                     if halluc.update(float(pl[k, i]) - group_med):
                         # quarantine the rest of this recording (detection
@@ -563,6 +564,23 @@ def train(
                             tgt_lens[gi, bi] = len(t)
                             if t:
                                 tokens[gi, bi, : len(t)] = np.asarray(t, np.int32)
+                    # Hallucination-filter scope: a row only participates in
+                    # the outlier statistics when its segment is REAL —
+                    # within its recording's segment count and with tokens.
+                    # Under the "padding" strategy ended recordings keep
+                    # training on silence + empty text (reference parity),
+                    # and their near-zero losses would otherwise collapse
+                    # the group median and falsely flag the longest
+                    # recording's tail segments.
+                    counts = np.zeros(B_local, np.int64)
+                    counts[:n_rows] = batch.num_segments_per_item
+                    gid = np.full(KG, np.iinfo(np.int64).max)
+                    gid[:len(group_ids)] = group_ids
+                    row_real = (
+                        row_valid
+                        & (gid[:, None] < counts[None, :])
+                        & (tgt_lens > 0)
+                    )
                     # pad the group to fixed KG with invalid segments
                     while len(g_audio) < KG:
                         g_audio.append(np.zeros_like(g_audio[0]))
@@ -596,13 +614,10 @@ def train(
                             ).astype(np.int16)
                         lens_k = np.count_nonzero(mask_k, axis=2).astype(np.int32)
                         if not compact_checked:
-                            # one-time invariant checks on the first group:
-                            # (a) masks must be PREFIX masks — interior zeros
-                            #     (e.g. a future time-masking augmentation)
-                            #     would silently become a different mask;
-                            # (b) resampled / non-PCM16 sources are perturbed
-                            #     by the int16 grid (≤ ~3e-5/sample) — say so
-                            #     once instead of silently.
+                            # one-time invariant check: masks must be PREFIX
+                            # masks — interior zeros (e.g. a future
+                            # time-masking augmentation) would silently
+                            # become a different mask
                             compact_checked = True
                             pfx = np.arange(mask_k.shape[2]) < lens_k[..., None]
                             if not np.array_equal(mask_k.astype(bool), pfx):
@@ -613,10 +628,19 @@ def train(
                                     "the data plane (chunks_to_segments "
                                     "produces prefix masks)"
                                 )
+                        if not compact_err_checked and \
+                                audio_k.dtype != np.int16 and audio_k.size:
+                            # int16-grid probe: resampled / non-PCM16 sources
+                            # are perturbed by the quantization grid
+                            # (≤ ~3e-5/sample) — say so once instead of
+                            # silently.  Runs on the FIRST FLOAT group (an
+                            # int16 passthrough group is exact by identity
+                            # and must not consume this one-time probe — a
+                            # mixed-rate corpus can interleave both).
+                            compact_err_checked = True
                             err = float(
                                 np.max(np.abs(audio_q / 32767.0 - audio_k))
-                            ) if audio_k.size and audio_k.dtype != np.int16 \
-                                else 0.0   # passthrough: exact by identity
+                            )
                             if err > 1e-6:  # f32 PCM16 roundtrip noise ~1e-8
                                 logger.info(
                                     "compact_transfer: audio not on the int16 "
@@ -662,7 +686,7 @@ def train(
                 pending = (
                     outs, group, g_texts[group - 1], n_rows,
                     float(mask_k[:group].sum()) / sr, global_step,
-                    row_valid, quarantined, batch.batch_id,
+                    row_real, quarantined, batch.batch_id,
                 )
 
                 if (

@@ -39,6 +39,20 @@ def test_detector_needs_min_window():
     assert det.flagged == 0
 
 
+def test_detector_warmup_withholds_extremes(rng):
+    """A bad recording present from step 0 must not poison the bootstrap
+    window: extreme values are withheld (not flagged, not absorbed) even
+    below min_window."""
+    det = LossOutlierDetector(zscore=4.0, window=64, min_window=16)
+    for v in rng.normal(10.0, 0.5, 8):
+        det.update(float(v))
+    assert det.update(500.0) is False          # warm-up: no flag...
+    for v in rng.normal(10.0, 0.5, 8):
+        det.update(float(v))
+    # ...but it was withheld, so the stats stay clean and it flags now
+    assert det.update(500.0) is True
+
+
 def test_detector_ignores_nonfinite():
     det = LossOutlierDetector(zscore=3.0, window=16, min_window=2)
     det.update(1.0)
@@ -79,10 +93,10 @@ def _write_fixtures(root, rng, garbage_row: bool):
                     f"{GARBAGE}\n")
 
 
-def _run(root, zscore):
+def _run(root, zscore, extra=()):
     from statecatcher_tpu.train.loop import train
 
-    cfg = Config().apply_overrides([
+    cfg = Config().apply_overrides(list(extra) + [
         "--model.encoder", "lstm",
         "--model.hidden_size", "16",
         "--model.num_layers", "1",
@@ -142,3 +156,28 @@ def test_bad_transcript_detected_and_excluded(tmp_path, rng, caplog):
     gap_unfiltered = abs(summary_off["loss_history"][-1] - final_clean)
     assert gap_filtered < gap_unfiltered / 2
     assert gap_filtered < 0.05 * final_clean   # within 5 % of the clean run
+
+
+def test_mixed_length_recordings_not_falsely_flagged(tmp_path, rng):
+    """Padding rows (recordings that ended under the 'padding' strategy)
+    contribute silence + empty text at late segment indices; they must be
+    EXCLUDED from the outlier statistics or the longest recording's tail
+    segments get falsely quarantined against a collapsed silence median."""
+    sr = 8000
+    root = str(tmp_path / "mixed_len")
+    os.makedirs(root)
+    r = np.random.default_rng(0)
+    for i in range(8):
+        secs = 4 if i < 6 else 12          # two recordings run 3× longer
+        x = r.uniform(-0.3, 0.3, secs * sr).astype(np.float32)
+        with open(os.path.join(root, f"r{i}.wav"), "wb") as f:
+            f.write(write_wav_bytes(x, sr))
+        lines = ["WEBVTT", ""]
+        for k in range(secs // 2):
+            lines += [f"00:00:{2*k:02d}.000 --> 00:00:{2*k+2:02d}.000",
+                      "ab", ""]
+        with open(os.path.join(root, f"r{i}.vtt"), "w") as f:
+            f.write("\n".join(lines))
+    summary = _run(root, zscore=3.0,
+                   extra=("--data.batch_segment_strategy", "padding"))
+    assert summary["hallucination_quarantined"] == 0

@@ -184,7 +184,7 @@ def main():
         for i in range(n_rec):
             open(os.path.join(d, f"r{i}.wav"), "wb").write(wav)
             open(os.path.join(d, f"r{i}.vtt"), "w").write(vtt)
-        ds = LocalSpeechDataset(d, SR)
+        ds = LocalSpeechDataset(d, batch_samplerate=SR)
         ds.start_session(batch_size=n_rec, order="asc")
         pipe = BatchPipeline(ds, target, num_workers=16)
         try:
