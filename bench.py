@@ -136,7 +136,7 @@ def main():
     env = os.environ.get
     base = dict(
         B=int(env("BENCH_BATCH", "96")),
-        K=int(env("BENCH_SEGMENTS", "16")),
+        K=int(env("BENCH_SEGMENTS", "24")),
         n_disp=int(env("BENCH_DISPATCHES", "1")),
         seconds=float(env("BENCH_SECONDS", "16.0")),
         kernel=env("BENCH_KERNEL", ""),          # "" = config default
@@ -157,8 +157,9 @@ def main():
             dict(base, encoder="lucyrnn", mode="ctc"),
             # xLSTM record config: fused lane-major kernel at chunk 256
             # (auto default is 128; 256 is the measured best: 9638 vs
-            # 9526 — BASELINE.md round 5), B=64/K=16
-            dict(base, encoder="xlstm", mode="ctc", B=64, K=16, n_disp=2,
+            # 9526 — BASELINE.md round 5), B=64 (K follows the base
+            # default: 24 measured 9854 vs 9742 at 16)
+            dict(base, encoder="xlstm", mode="ctc", B=64, n_disp=2,
                  xlstm_chunk="256"),
             dict(base, encoder="lucyrnn", mode="rnnt", U=64),
             # U=128 long-label row: exercises the auto band selection

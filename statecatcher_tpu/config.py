@@ -197,10 +197,11 @@ class TrainConfig:
     log_every_n: int = 100            # metrics window (reference train.py:215)
     # Segments per device dispatch: the K-segment loop runs as an on-device
     # lax.scan in groups of this size (carry threads through); 1 = per-segment
-    # dispatch like the reference host loop.  16 amortizes the per-dispatch
-    # host round-trip (measured +2.8 % over 8 at the flagship; recordings
-    # shorter than the group just use smaller final groups).
-    segments_per_dispatch: int = 16
+    # dispatch like the reference host loop.  24 amortizes the per-dispatch
+    # host round-trip (round-5 sweep at the hand-adjoint kernels: 24 beat 16
+    # in three paired runs, ~+1.5 %; 32 gives it back; recordings shorter
+    # than the group just use smaller final groups).
+    segments_per_dispatch: int = 24
     # Compact host→device transfer: ship audio as int16 PCM (de-quantized on
     # device — within 1 ulp of the host float32 division for the PCM-derived
     # audio the data plane decodes) and sample masks as (K, B) prefix lengths
