@@ -188,6 +188,10 @@ class TrainConfig:
     hallucination_zscore: float = 6.0
     hallucination_window: int = 512        # rolling window of recent losses
     hallucination_min_window: int = 64     # no flagging before this many
+    # relative-excess floor: flag only when the loss also exceeds the group
+    # median by this fraction (MAD collapses on homogeneous batches and
+    # harmless ~1 % deviations would z-score as outliers)
+    hallucination_min_rel: float = 0.05
     epochs: int = 10
     steps: Optional[int] = None
     optim: OptimConfig = field(default_factory=OptimConfig)

@@ -156,6 +156,97 @@ class BatchPipeline:
         self.stop()
 
 
+class GroupBufferPool:
+    """Double-buffered reusable host transfer buffers for
+    ``assemble_compact_group``.
+
+    Faulting in a fresh multi-GB group buffer costs far more than the
+    copies themselves (measured on the flagship group: 3.4 s first-touch
+    vs 0.33 s into warm pages), so buffers are reused across groups.  TWO
+    slots per (shape, dtype) make reuse safe against the previous
+    dispatch's possibly-still-in-flight host→device transfer: group N+1
+    fills the other slot, and before group N+2 reuses slot N the loop has
+    dispatched N+1 — which blocks (donated buffers) until step N, and
+    therefore N's transfer, completed.
+    """
+
+    def __init__(self, depth: int = 2):
+        self.depth = depth
+        self._slots: dict = {}
+
+    def take(self, shape, dtype) -> tuple[np.ndarray, bool]:
+        """Next buffer for (shape, dtype) → (buffer, is_fresh_zeroed)."""
+        key = (tuple(shape), np.dtype(dtype).str)
+        ent = self._slots.setdefault(key, {"bufs": [], "i": -1})
+        if len(ent["bufs"]) < self.depth:
+            buf = np.zeros(shape, dtype)
+            ent["bufs"].append(buf)
+            ent["i"] = len(ent["bufs"]) - 1
+            return buf, True
+        ent["i"] = (ent["i"] + 1) % self.depth
+        return ent["bufs"][ent["i"]], False
+
+
+def assemble_compact_group(
+    batch: PreparedBatch,
+    group_ids: list,
+    KG: int,
+    B_local: int,
+    target_samples: int,
+    pool: "GroupBufferPool | None" = None,
+) -> tuple[np.ndarray, np.ndarray, list]:
+    """Single-pass host_prep assembly for the compact-transfer train loop.
+
+    Writes every decoded segment row DIRECTLY into the final (KG, B, S)
+    transfer buffer — the generic ``stack_segment_slice``-per-segment +
+    group-level ``np.stack`` path copies the group twice and stacks the
+    full (KG, B, S) bool masks only to reduce them to prefix lengths;
+    measured 5.5 s vs ~1 s per flagship group on cold data
+    (tools/profile_e2e_flagship.py exposed the loop as host-bound).
+
+    Returns (audio_k, lens_k, texts_per_segment):
+      audio_k  (KG, B, S) — int16 when every present row is an int16
+               passthrough segment, else float32 on the reference scale
+      lens_k   (KG, B) int32 prefix lengths (0 for missing/padded rows)
+      texts    list of KG lists of B strings
+    """
+    S = target_samples
+    all_i16 = all(
+        a.dtype == np.int16 for aud in batch.audio_items for a in aud
+    )
+    dtype = np.int16 if all_i16 else np.float32
+    if pool is not None:
+        audio_k, audio_fresh = pool.take((KG, B_local, S), dtype)
+        lens_k, _ = pool.take((KG, B_local), np.int32)
+        lens_k.fill(0)
+    else:
+        audio_k = np.zeros((KG, B_local, S), dtype)
+        lens_k = np.zeros((KG, B_local), np.int32)
+        audio_fresh = True
+    texts: list[list[str]] = [[""] * B_local for _ in range(KG)]
+    n_rows = len(batch.audio_items)
+    for gi in range(KG):
+        si = group_ids[gi] if gi < len(group_ids) else None
+        for i in range(B_local):
+            present = (
+                si is not None and i < n_rows
+                and si < len(batch.audio_items[i])
+            )
+            if present:
+                seg = batch.audio_items[i][si]
+                if seg.dtype == np.int16 and dtype == np.float32:
+                    seg = seg.astype(np.float32) / 32767.0
+                # every present segment is exactly S samples
+                # (chunks_to_segments pads), so the row is fully overwritten
+                audio_k[gi, i, : len(seg)] = seg
+                lens_k[gi, i] = int(
+                    np.count_nonzero(batch.mask_items[i][si]))
+                texts[gi][i] = batch.text_items[i][si]
+            elif not audio_fresh:
+                audio_k[gi, i].fill(0)      # clear a reused buffer's stale row
+    return audio_k, lens_k, texts
+
+
 def stack_segment_slice(
     batch: PreparedBatch, seg_idx: int, target_samples: int,
     raw_dtype: bool = False,

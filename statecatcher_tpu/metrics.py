@@ -226,11 +226,19 @@ class LossOutlierDetector:
     """
 
     def __init__(self, zscore: float = 6.0, window: int = 512,
-                 min_window: int = 64):
+                 min_window: int = 64, min_rel: float = 0.05):
         from collections import deque
 
         self.zscore = float(zscore)
         self.min_window = int(min_window)
+        # Relative-excess floor: when a batch's losses are nearly identical
+        # (homogeneous data), MAD collapses and harmless ~1 % deviations
+        # produce huge z-scores — measured as mass false quarantines on a
+        # uniform synthetic corpus (tools/profile_e2e_flagship.py).  A flag
+        # additionally requires the value to exceed ``min_rel`` of the
+        # caller-provided scale (the group median loss); a genuinely
+        # mis-aligned transcript measures >10 % excess (test fixture: 12.7 %).
+        self.min_rel = float(min_rel)
         self._win = deque(maxlen=int(window))
         self.flagged = 0
 
@@ -240,15 +248,21 @@ class LossOutlierDetector:
         mad = float(np.median(np.abs(vals - med)))
         return (x - med) / (1.4826 * mad + 1e-9)
 
-    def update(self, x: float) -> bool:
-        """Observe one per-utterance loss; True = outlier (quarantine)."""
+    def update(self, x: float, scale: float | None = None) -> bool:
+        """Observe one per-utterance loss (residual); True = outlier.
+
+        ``scale``: magnitude reference for the relative-excess floor
+        (callers pass the group median loss; None disables the floor)."""
         import math
 
         if not math.isfinite(x):
             return False          # non-finite is the bad-segment filter's job
+        big_enough = (
+            scale is None or x > self.min_rel * max(abs(scale), 1e-9)
+        )
         n = len(self._win)
         if n >= self.min_window:
-            if self._z(x) > self.zscore:
+            if big_enough and self._z(x) > self.zscore:
                 self.flagged += 1
                 return True
         elif n >= max(4, self.min_window // 8) and self._z(x) > self.zscore:

@@ -55,16 +55,16 @@ def _logaddexp3(a, b, c):
     return jnp.where(m <= _NEG / 2, _NEG, out)
 
 
-def _alpha_kernel(C, BP, SP):
+def _alpha_kernel(C, BT, SP):
     def kernel(lens_ref, emit_ref, skip_ref, out_ref, alpha_ref):
         tc = pl.program_id(1)
         skip_mask = skip_ref[0]                        # (BP, SP) — 0 or −inf offset
         lens = lens_ref[0]                             # (BP, 1) int32
-        lane = jax.lax.broadcasted_iota(jnp.int32, (BP, SP), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BT, SP), 1)
 
         @pl.when(tc == 0)
         def _():
-            alpha_ref[:] = jnp.full((BP, SP), _NEG)
+            alpha_ref[:] = jnp.full((BT, SP), _NEG)
 
         alpha = alpha_ref[:]
 
@@ -89,7 +89,7 @@ def _alpha_kernel(C, BP, SP):
     return kernel
 
 
-def _beta_kernel(C, BP, SP):
+def _beta_kernel(C, BT, SP):
     """Reverse pass on time-flipped emissions.
 
     Inputs are pre-flipped so the kernel walks forward over reversed time
@@ -104,7 +104,7 @@ def _beta_kernel(C, BP, SP):
 
         @pl.when(tc == 0)
         def _():
-            beta_ref[:] = jnp.full((BP, SP), _NEG)
+            beta_ref[:] = jnp.full((BT, SP), _NEG)
 
         start_r = tl_ref[0]                            # (BP, 1): T − L per row
         skip2 = skip2_ref[0]                           # skip allowed INTO s+2
@@ -121,7 +121,7 @@ def _beta_kernel(C, BP, SP):
             is_term = r == start_r                     # (BP, 1)
             is_dead = r < start_r
             new = jnp.where(is_term, emit_t + term, rec)
-            new = jnp.where(is_dead, jnp.full((BP, SP), _NEG), new)
+            new = jnp.where(is_dead, jnp.full((BT, SP), _NEG), new)
             out_ref[i] = new
             return new
 
@@ -153,14 +153,26 @@ def _prep(log_probs, in_lens, labels, blank_id):
     return ext, allow_skip, emit, S
 
 
-def _auto_chunk(T, BP, SP, chunk):
-    """Largest time-chunk whose double-buffered emit-in + alpha-out blocks
-    (4 live (C, BP, SP) f32 tiles) stay within ~12 MB of the 16 MB scoped
-    VMEM budget — at S=384, C=128 OOMs the grad compile (measured)."""
+def _auto_tiles(T, BP, SP, chunk):
+    """(time_chunk, batch_tile) whose 4 live (C, BT, SP) f32 blocks stay
+    within ~12 MB of the 16 MB scoped VMEM budget — at S=384, C=128 OOMs
+    the grad compile (measured).  Dense-label workloads can exceed the
+    budget even at the C=8 floor (S=1025 → SP=1152 at B=96 needs 16.15 MB:
+    measured U=512 flagship compile OOM); then the BATCH axis is tiled
+    through the grid instead — the α/β scratch row is per batch tile and
+    tiles are independent."""
     budget = 12 * 1024 * 1024
-    c = budget // (4 * BP * SP * 4)
+    BT = BP
+    while True:
+        c = budget // (4 * BT * SP * 4)
+        if c >= 8 or BT <= 8:
+            break
+        nxt = BT // 2   # largest multiple-of-8 divisor of BP below BT
+        while nxt > 8 and (BP % nxt or nxt % 8):
+            nxt -= 1
+        BT = nxt if (nxt >= 8 and BP % nxt == 0 and nxt % 8 == 0) else 8
     c = max(8, (min(chunk, c) // 8) * 8)
-    return min(c, T)
+    return min(c, max(T, 8)), BT
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -169,7 +181,7 @@ def _alpha_all(emit, allow_skip, in_lens, chunk=128):
     B, T, S = emit.shape
     BP = -(-B // 8) * 8
     SP = -(-S // _LANE) * _LANE
-    C = _auto_chunk(T, BP, SP, chunk)
+    C, BT = _auto_tiles(T, BP, SP, chunk)
     TP = -(-T // C) * C
 
     emit_p = _pad_to(_pad_to(_pad_to(emit, TP, 1, _NEG), SP, 2, _NEG), BP, 0, _NEG)
@@ -181,22 +193,22 @@ def _alpha_all(emit, allow_skip, in_lens, chunk=128):
     lens = _pad_to(in_lens.astype(jnp.int32), BP, 0, 0)[None, :, None]
 
     out = pl.pallas_call(
-        _alpha_kernel(C, BP, SP),
+        _alpha_kernel(C, BT, SP),
         out_shape=jax.ShapeDtypeStruct((TP, BP, SP), jnp.float32),
-        grid=(1, TP // C),
+        grid=(BP // BT, TP // C),
         in_specs=[
-            pl.BlockSpec((1, BP, 1), lambda g, tc: (0, 0, 0),
+            pl.BlockSpec((1, BT, 1), lambda g, tc: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, BP, SP), lambda g, tc: (tc, 0, 0),
+            pl.BlockSpec((C, BT, SP), lambda g, tc: (tc, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BP, SP), lambda g, tc: (0, 0, 0),
+            pl.BlockSpec((1, BT, SP), lambda g, tc: (0, g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, BP, SP), lambda g, tc: (tc, 0, 0),
+        out_specs=pl.BlockSpec((C, BT, SP), lambda g, tc: (tc, g, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BP, SP), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BT, SP), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(lens, emit_tbs, skip)
     return jnp.swapaxes(out, 0, 1)[:B, :T, :S]
@@ -207,7 +219,7 @@ def _beta_all(emit, allow_skip, in_lens, label_lens, chunk=128):
     B, T, S = emit.shape
     BP = -(-B // 8) * 8
     SP = -(-S // _LANE) * _LANE
-    C = _auto_chunk(T, BP, SP, chunk)
+    C, BT = _auto_tiles(T, BP, SP, chunk)
     TP = -(-T // C) * C
 
     emit_rev = jnp.flip(emit, axis=1)
@@ -235,24 +247,24 @@ def _beta_all(emit, allow_skip, in_lens, label_lens, chunk=128):
     start_r = (T - _pad_to(in_lens.astype(jnp.int32), BP, 0, 1))[None, :, None]
 
     out = pl.pallas_call(
-        _beta_kernel(C, BP, SP),
+        _beta_kernel(C, BT, SP),
         out_shape=jax.ShapeDtypeStruct((TP, BP, SP), jnp.float32),
-        grid=(1, TP // C),
+        grid=(BP // BT, TP // C),
         in_specs=[
-            pl.BlockSpec((1, BP, 1), lambda g, tc: (0, 0, 0),
+            pl.BlockSpec((1, BT, 1), lambda g, tc: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, BP, SP), lambda g, tc: (tc, 0, 0),
+            pl.BlockSpec((C, BT, SP), lambda g, tc: (tc, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BP, SP), lambda g, tc: (0, 0, 0),
+            pl.BlockSpec((1, BT, SP), lambda g, tc: (0, g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BP, SP), lambda g, tc: (0, 0, 0),
+            pl.BlockSpec((1, BT, SP), lambda g, tc: (0, g, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, BP, SP), lambda g, tc: (tc, 0, 0),
+        out_specs=pl.BlockSpec((C, BT, SP), lambda g, tc: (tc, g, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((BP, SP), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BT, SP), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(start_r, emit_tbs, skip2, term)
     beta_rev = jnp.swapaxes(out, 0, 1)[:B, :TP, :S]

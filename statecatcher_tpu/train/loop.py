@@ -29,7 +29,11 @@ import numpy as np
 
 from statecatcher_tpu.config import Config
 from statecatcher_tpu.data.local import LocalSpeechDataset
-from statecatcher_tpu.data.pipeline import BatchPipeline, stack_segment_slice
+from statecatcher_tpu.data.pipeline import (
+    BatchPipeline,
+    assemble_compact_group,
+    stack_segment_slice,
+)
 from statecatcher_tpu.decode import keep_to_token_lists
 from statecatcher_tpu.frontend import feat_dim as frontend_feat_dim
 from statecatcher_tpu.frontend import num_frames
@@ -306,10 +310,14 @@ def train(
             cfg.train.hallucination_zscore,
             cfg.train.hallucination_window,
             cfg.train.hallucination_min_window,
+            cfg.train.hallucination_min_rel,
         )
     carry = None
     compact_checked = False  # one-time compact_transfer prefix-mask check
     compact_err_checked = False  # one-time int16-grid probe (first FLOAT group)
+    from statecatcher_tpu.data.pipeline import GroupBufferPool
+
+    compact_pool = GroupBufferPool()  # reusable double-buffered group buffers
     # data-session cursor: how many recording batches this session has fully
     # processed, and the next segment index within the in-flight batch.  Saved
     # with every checkpoint so resume can re-enter mid-recording-batch (the
@@ -355,7 +363,8 @@ def train(
                 for i in range(min(rows, pl.shape[1])):
                     if quarantined[i] or not row_real[k, i]:
                         continue
-                    if halluc.update(float(pl[k, i]) - group_med):
+                    if halluc.update(float(pl[k, i]) - group_med,
+                                     scale=group_med):
                         # quarantine the rest of this recording (detection
                         # runs one dispatch behind — the affected rows stop
                         # training from the next segment group on) and
@@ -527,26 +536,93 @@ def train(
                 seg_idx += group
 
                 with timer.time("host_prep"):
-                    g_audio, g_mask, g_texts = [], [], []
-                    g_tokens = []
-                    for si in group_ids:
-                        # raw_dtype: int16 passthrough segments (PCM16
-                        # source at batch rate) stay int16 — compact
-                        # transfer ships them verbatim, no quantize pass
-                        audio, mask, texts = stack_segment_slice(
-                            batch, si, target_samples,
-                            raw_dtype=cfg.train.compact_transfer,
+                    if cfg.train.compact_transfer:
+                        # Single-pass assembly straight into the final
+                        # (KG, B, S) transfer buffer — int16 passthrough
+                        # (no quantize pass) and prefix lens instead of
+                        # stacked bool masks.  The generic per-segment path
+                        # below copies the group twice; measured 5.5 s vs
+                        # ~1 s per flagship group (profile_e2e_flagship.py).
+                        audio_k, lens_k, g_texts = assemble_compact_group(
+                            batch, group_ids, KG, B_local, target_samples,
+                            pool=compact_pool,
                         )
-                        if n_rows < B_local:  # pad to fixed per-host shape
-                            pad = B_local - n_rows
-                            audio = np.pad(audio, ((0, pad), (0, 0)))
-                            mask = np.pad(mask, ((0, pad), (0, 0)))
-                            texts = texts + [""] * pad
-                        token_ids = [tokenizer.encode(t) for t in texts]
-                        g_audio.append(audio)
-                        g_mask.append(mask)
-                        g_texts.append(texts)
-                        g_tokens.append(token_ids)
+                        g_tokens = [
+                            [tokenizer.encode(t) for t in g_texts[gi]]
+                            for gi in range(group)
+                        ]
+                        if not compact_checked:
+                            # one-time invariant check: masks must be PREFIX
+                            # masks — interior zeros (e.g. a future
+                            # time-masking augmentation) would silently
+                            # become a different mask under the lens form
+                            compact_checked = True
+                            for mi in batch.mask_items:
+                                for si in group_ids:
+                                    if si >= len(mi):
+                                        continue
+                                    m = mi[si]
+                                    nnz = int(np.count_nonzero(m))
+                                    if not (m[:nnz].all()
+                                            and not m[nnz:].any()):
+                                        raise ValueError(
+                                            "train.compact_transfer requires"
+                                            " prefix sample masks; got a "
+                                            "mask with interior zeros — "
+                                            "disable compact_transfer or "
+                                            "fix the data plane "
+                                            "(chunks_to_segments produces "
+                                            "prefix masks)"
+                                        )
+                        if audio_k.dtype != np.int16:
+                            # float-sourced / resampled rows present:
+                            # quantize to the int16 grid
+                            audio_q = np.clip(
+                                np.rint(audio_k * 32767.0), -32768.0, 32767.0
+                            ).astype(np.int16)
+                            if not compact_err_checked and audio_k.size:
+                                # int16-grid probe, once, on the first FLOAT
+                                # group (≤ ~3e-5/sample perturbation for
+                                # non-PCM16 sources — say so, not silently)
+                                compact_err_checked = True
+                                err = float(
+                                    np.max(np.abs(audio_q / 32767.0 - audio_k))
+                                )
+                                if err > 1e-6:  # PCM16 roundtrip noise ~1e-8
+                                    logger.info(
+                                        "compact_transfer: audio not on the "
+                                        "int16 grid (max quantization error "
+                                        "%.2e/sample — resampled or "
+                                        "float-sourced input); set "
+                                        "train.compact_transfer=false for "
+                                        "bit-exact transfer", err,
+                                    )
+                            audio_k = audio_q
+                        mask_k = lens_k
+                    else:
+                        g_audio, g_mask, g_texts = [], [], []
+                        g_tokens = []
+                        for si in group_ids:
+                            audio, mask, texts = stack_segment_slice(
+                                batch, si, target_samples,
+                            )
+                            if n_rows < B_local:  # pad to per-host shape
+                                pad = B_local - n_rows
+                                audio = np.pad(audio, ((0, pad), (0, 0)))
+                                mask = np.pad(mask, ((0, pad), (0, 0)))
+                                texts = texts + [""] * pad
+                            g_audio.append(audio)
+                            g_mask.append(mask)
+                            g_texts.append(texts)
+                            g_tokens.append(
+                                [tokenizer.encode(t) for t in texts])
+                        # pad the group to fixed KG with invalid segments
+                        while len(g_audio) < KG:
+                            g_audio.append(np.zeros_like(g_audio[0]))
+                            g_mask.append(np.zeros_like(g_mask[0]))
+                            g_texts.append([""] * B_local)
+                        audio_k = np.stack(g_audio)
+                        mask_k = np.stack(g_mask)
                     row_valid = np.broadcast_to(
                         (np.arange(B_local) < n_rows) & ~quarantined,
                         (KG, B_local),
@@ -581,76 +657,6 @@ def train(
                         & (gid[:, None] < counts[None, :])
                         & (tgt_lens > 0)
                     )
-                    # pad the group to fixed KG with invalid segments
-                    while len(g_audio) < KG:
-                        g_audio.append(np.zeros_like(g_audio[0]))
-                        g_mask.append(np.zeros_like(g_mask[0]))
-                        g_texts.append([""] * B_local)
-                    if any(a.dtype == np.int16 for a in g_audio) and not all(
-                        a.dtype == np.int16 for a in g_audio
-                    ):
-                        # mixed decode paths across the group: promote the
-                        # int16 segments to the float scale before stacking
-                        # (a bare np.stack would keep raw ±32767 magnitudes)
-                        g_audio = [
-                            a.astype(np.float32) / 32767.0
-                            if a.dtype == np.int16 else a
-                            for a in g_audio
-                        ]
-                    audio_k = np.stack(g_audio)
-                    mask_k = np.stack(g_mask)
-                    if cfg.train.compact_transfer:
-                        # int16 audio + prefix lengths: 5× fewer host→device
-                        # bytes; the jitted step de-quantizes / rebuilds the
-                        # frame mask on device (train/step.py, bit-identical
-                        # for the PCM-derived audio the data plane produces).
-                        if audio_k.dtype == np.int16:
-                            # int16 passthrough: already on the grid —
-                            # lossless by construction, no quantize pass
-                            audio_q = audio_k
-                        else:
-                            audio_q = np.clip(
-                                np.rint(audio_k * 32767.0), -32768.0, 32767.0
-                            ).astype(np.int16)
-                        lens_k = np.count_nonzero(mask_k, axis=2).astype(np.int32)
-                        if not compact_checked:
-                            # one-time invariant check: masks must be PREFIX
-                            # masks — interior zeros (e.g. a future
-                            # time-masking augmentation) would silently
-                            # become a different mask
-                            compact_checked = True
-                            pfx = np.arange(mask_k.shape[2]) < lens_k[..., None]
-                            if not np.array_equal(mask_k.astype(bool), pfx):
-                                raise ValueError(
-                                    "train.compact_transfer requires prefix "
-                                    "sample masks; got a mask with interior "
-                                    "zeros — disable compact_transfer or fix "
-                                    "the data plane (chunks_to_segments "
-                                    "produces prefix masks)"
-                                )
-                        if not compact_err_checked and \
-                                audio_k.dtype != np.int16 and audio_k.size:
-                            # int16-grid probe: resampled / non-PCM16 sources
-                            # are perturbed by the quantization grid
-                            # (≤ ~3e-5/sample) — say so once instead of
-                            # silently.  Runs on the FIRST FLOAT group (an
-                            # int16 passthrough group is exact by identity
-                            # and must not consume this one-time probe — a
-                            # mixed-rate corpus can interleave both).
-                            compact_err_checked = True
-                            err = float(
-                                np.max(np.abs(audio_q / 32767.0 - audio_k))
-                            )
-                            if err > 1e-6:  # f32 PCM16 roundtrip noise ~1e-8
-                                logger.info(
-                                    "compact_transfer: audio not on the int16 "
-                                    "grid (max quantization error %.2e/sample"
-                                    " — resampled or float-sourced input); "
-                                    "set train.compact_transfer=false for "
-                                    "bit-exact transfer", err,
-                                )
-                        audio_k, mask_k = audio_q, lens_k
-
                 with timer.time("train_step"):
                     # async dispatch: nothing here blocks — the device starts
                     # while the host prepares the next group

@@ -187,3 +187,37 @@ def test_stack_segment_slice_int16(tmp_path, rng):
         if K - 1 >= count:
             assert not audio_p[i].any() and not mask_p[i].any()
     pipe.stop()
+
+
+def test_assemble_compact_group_pool_reuse(tmp_path, rng):
+    """Reused (double-buffered) group buffers: a second group with missing
+    segments must not leak the previous group's audio through stale rows."""
+    from statecatcher_tpu.data.pipeline import (
+        GroupBufferPool,
+        assemble_compact_group,
+    )
+
+    root = _write_local_fixtures(tmp_path, rng, n=2)
+    ds = LocalSpeechDataset(root)
+    ds.start_session(batch_size=2)
+    pipe = BatchPipeline(ds, target_samples=16000, num_workers=2)
+    b = pipe.next_batch()
+    K = b.num_segments("padding")
+    pool = GroupBufferPool(depth=2)
+    KG, B = 4, 3   # B_local > n_rows and KG > group: padded rows + segments
+    outs = []
+    for start in (0, 0, 0):   # third call reuses the first call's buffer
+        gids = list(range(start, min(start + 2, K)))
+        a, l, t = assemble_compact_group(b, gids, KG, B, 16000, pool=pool)
+        outs.append((a.copy(), l.copy(), t))
+    a0, l0, _ = outs[0]
+    a2, l2, _ = outs[2]
+    np.testing.assert_array_equal(a0, a2)
+    np.testing.assert_array_equal(l0, l2)
+    # padded segment rows and the padded batch row are silent
+    assert not a2[2:].any() and not a2[:, 2:].any()
+    # and match the no-pool reference exactly
+    ar, lr, tr = assemble_compact_group(b, [0, 1], KG, B, 16000)
+    np.testing.assert_array_equal(ar, a2)
+    np.testing.assert_array_equal(lr, l2)
+    pipe.stop()

@@ -53,6 +53,19 @@ def test_detector_warmup_withholds_extremes(rng):
     assert det.update(500.0) is True
 
 
+def test_detector_relative_floor_on_homogeneous_batches():
+    """Near-identical losses collapse the MAD, so harmless ~1 % deviations
+    z-score as outliers; the relative-excess floor (vs the caller's scale)
+    suppresses them while a real >10 % excess still flags."""
+    det = LossOutlierDetector(zscore=6.0, window=64, min_window=8,
+                              min_rel=0.05)
+    for v in [0.01, -0.02, 0.015, -0.01, 0.02, -0.015, 0.01, -0.02, 0.0]:
+        det.update(v, scale=120.0)
+    assert det.update(1.5, scale=120.0) is False   # z huge, but only 1.25 %
+    assert det.flagged == 0
+    assert det.update(15.0, scale=120.0) is True   # 12.5 % excess: real
+
+
 def test_detector_ignores_nonfinite():
     det = LossOutlierDetector(zscore=3.0, window=16, min_window=2)
     det.update(1.0)
